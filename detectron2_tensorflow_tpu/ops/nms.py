@@ -1,0 +1,225 @@
+"""Fixed-shape non-maximum suppression for TPU.
+
+The reference delegates to ``tf.image.non_max_suppression`` inside per-image
+``tf.map_fn`` (/root/reference/lib/layers/nms.py:6-26); upstream Detectron2
+uses a CUDA kernel. Neither shape-generalizes to XLA. This module implements
+**exact greedy NMS** as a blocked fixed-point iteration:
+
+  * boxes are score-sorted once (``lax.top_k``);
+  * blocks of ``BLOCK`` boxes are processed in score order with ``lax.scan`` —
+    suppression *from previous blocks* is one [BLOCK, N] masked any-reduce
+    (VPU-friendly), suppression *within a block* is a small fixed-point loop
+    on the strict lower triangle that converges to the greedy solution;
+  * everything is static-shape: outputs are a keep-mask over the sorted
+    order plus gather indices, never a dynamic-length tensor.
+
+The result is bit-identical to sequential greedy NMS (same tie-breaking:
+score order, stable over the input order for equal scores).
+
+Class-aware NMS uses the coordinate-offset trick (boxes shifted per class so
+cross-class pairs never overlap), as the reference does at
+fast_rcnn.py:138-146.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..structures import boxes as box_ops
+
+BLOCK = 128
+
+NEG_INF = -1e10
+
+
+def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value):
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS over ``[N, 4]`` boxes.
+
+    Returns ``(order, keep, kept_scores)``:
+      * ``order``  [N] — indices into the input, sorted by descending score;
+      * ``keep``   [N] bool — whether the box at ``order[i]`` survives;
+      * ``kept_scores`` [N] — scores in sorted order, NEG_INF where dropped.
+
+    Callers take the top-k of ``kept_scores`` to get a fixed-size result.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+
+    # Stable sort by descending score (top_k is stable in XLA).
+    sorted_scores, order = jax.lax.top_k(masked_scores, n)
+    sorted_boxes = jnp.take(boxes, order, axis=0)
+    sorted_valid = sorted_scores > NEG_INF / 2
+
+    # Pad to a BLOCK multiple with far-away boxes so padded rows never
+    # interact with real ones.
+    n_pad = n + ((-n) % BLOCK)
+    sorted_boxes_p = _pad_to_multiple(sorted_boxes, BLOCK, 0, -1e8)
+    sorted_valid_p = _pad_to_multiple(sorted_valid, BLOCK, 0, False)
+    num_blocks = n_pad // BLOCK
+
+    row_ids = jnp.arange(BLOCK)
+    tril_strict = row_ids[:, None] > row_ids[None, :]  # j < i within block
+
+    def process_block(keep_so_far, block_idx):
+        start = block_idx * BLOCK
+        rows = jax.lax.dynamic_slice_in_dim(sorted_boxes_p, start, BLOCK, 0)
+        rows_valid = jax.lax.dynamic_slice_in_dim(sorted_valid_p, start, BLOCK, 0)
+        # IoU of this block against every box (computed once per row-block).
+        iou = box_ops.pairwise_iou(rows, sorted_boxes_p)  # [BLOCK, n_pad]
+        over = iou > iou_threshold
+
+        # Suppression by already-kept boxes from earlier blocks. keep_so_far
+        # is zero at and after this block, so no extra position masking needed.
+        sup_prev = jnp.any(over & keep_so_far[None, :], axis=1)
+        alive0 = rows_valid & ~sup_prev
+
+        # Within-block greedy via fixed-point on the strict lower triangle:
+        # alive[i] = alive0[i] and no alive[j] (j<i) overlaps i. Converges to
+        # the greedy solution; each iteration at least finalizes the earliest
+        # undecided row, so BLOCK iterations always suffice — the while_loop
+        # exits as soon as nothing changes (typically <8 iterations).
+        w = jax.lax.dynamic_slice(over, (0, start), (BLOCK, BLOCK))
+        w = w & tril_strict
+
+        def cond(state):
+            alive, changed = state
+            return changed
+
+        def body(state):
+            alive, _ = state
+            new_alive = alive0 & ~jnp.any(w & alive[None, :], axis=1)
+            return new_alive, jnp.any(new_alive != alive)
+
+        alive, _ = jax.lax.while_loop(cond, body, (alive0, jnp.array(True)))
+
+        keep_so_far = jax.lax.dynamic_update_slice_in_dim(
+            keep_so_far, alive, start, 0
+        )
+        return keep_so_far, None
+
+    keep_init = jnp.zeros((n_pad,), bool)
+    keep_final, _ = jax.lax.scan(
+        process_block, keep_init, jnp.arange(num_blocks)
+    )
+    keep = keep_final[:n]
+    kept_scores = jnp.where(keep, sorted_scores, NEG_INF)
+    return order, keep, kept_scores
+
+
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+    valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS with a fixed-size result: top ``max_outputs`` surviving boxes.
+
+    Returns ``(boxes, scores, indices, valid)`` with leading dim
+    ``max_outputs``; ``indices`` point into the input array; invalid slots
+    have score NEG_INF and valid False.
+    """
+    order, keep, kept_scores = nms(boxes, scores, iou_threshold, valid)
+    k = min(max_outputs, boxes.shape[0])
+    top_scores, top_pos = jax.lax.top_k(kept_scores, k)
+    out_indices = jnp.take(order, top_pos)
+    out_valid = top_scores > NEG_INF / 2
+    out_boxes = jnp.take(boxes, out_indices, axis=0)
+    if k < max_outputs:
+        pad = max_outputs - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=NEG_INF)
+        out_indices = jnp.pad(out_indices, (0, pad))
+        out_valid = jnp.pad(out_valid, (0, pad))
+    return out_boxes, top_scores, out_indices, out_valid
+
+
+def class_aware_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+    valid: jnp.ndarray | None = None,
+    class_agnostic: bool = False,
+):
+    """Per-class NMS via the coordinate-offset trick.
+
+    Boxes of different classes are translated to disjoint regions so one
+    global NMS equals independent per-class NMS (reference
+    fast_rcnn.py:138-146). Returns the same tuple as :func:`nms_fixed`.
+    """
+    if class_agnostic:
+        return nms_fixed(boxes, scores, iou_threshold, max_outputs, valid)
+    max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
+    offsets = classes.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    _, out_scores, out_indices, out_valid = nms_fixed(
+        shifted, scores, iou_threshold, max_outputs, valid
+    )
+    out_boxes = jnp.take(boxes, out_indices, axis=0)
+    out_boxes = jnp.where(out_valid[:, None], out_boxes, 0.0)
+    return out_boxes, out_scores, out_indices, out_valid
+
+
+@functools.partial(jax.jit, static_argnames=("kernel",))
+def matrix_nms(
+    seg_masks: jnp.ndarray,
+    labels: jnp.ndarray,
+    scores: jnp.ndarray,
+    sigma: float = 2.0,
+    kernel: str = "gaussian",
+    mask_areas: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """SOLOv2 Matrix NMS: soft score decay from the full mask-IoU matrix.
+
+    ``seg_masks``: [N, H, W] binary masks (float or bool), score-sorted
+    descending. Returns decayed scores [N]. All-matmul (one [N,HW]x[HW,N]
+    product) — exactly the op the MXU is built for; the reference builds the
+    same math from TF ops at lib/layers/nms.py:29-83, mmdetection uses CUDA.
+    """
+    n = seg_masks.shape[0]
+    flat = seg_masks.reshape(n, -1).astype(jnp.float32)
+    if mask_areas is None:
+        mask_areas = flat.sum(axis=1)
+    inter = flat @ flat.T  # [N, N] on the MXU
+    union = mask_areas[:, None] + mask_areas[None, :] - inter
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-6), 0.0)
+    # Layout: entry [i, j] means "mask i (higher-scoring, i < j) suppresses
+    # mask j". Only same-class, strictly-earlier masks suppress.
+    upper = jnp.triu(jnp.ones((n, n), bool), k=1)
+    same_class = labels[:, None] == labels[None, :]
+    decay_iou = jnp.where(upper & same_class, iou, 0.0)  # [i, j]
+    # Compensation per suppressor i: how much i itself was overlapped by even
+    # higher-scoring masks (column-max of i as a suppressed mask).
+    compensate_iou = jnp.max(decay_iou, axis=0)  # [N], indexed by i
+    if kernel == "gaussian":
+        decay = jnp.exp(-(decay_iou**2 - compensate_iou[:, None] ** 2) * sigma)
+    elif kernel == "linear":
+        decay = (1.0 - decay_iou) / jnp.maximum(
+            1.0 - compensate_iou[:, None], 1e-6
+        )
+    else:
+        raise ValueError(f"unknown matrix_nms kernel: {kernel}")
+    decay_coef = jnp.min(decay, axis=0)  # per suppressed mask j
+    return scores * jnp.minimum(decay_coef, 1.0)

@@ -1,0 +1,109 @@
+import jax.numpy as jnp
+import numpy as np
+
+from detectron2_tensorflow_tpu.ops import class_aware_nms, matrix_nms, nms, nms_fixed
+
+
+def greedy_nms_reference(boxes, scores, thresh):
+    """Plain sequential greedy NMS (the semantics CUDA/tf.image NMS implement)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            xx0 = max(boxes[i, 0], boxes[j, 0])
+            yy0 = max(boxes[i, 1], boxes[j, 1])
+            xx1 = min(boxes[i, 2], boxes[j, 2])
+            yy1 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0.0, xx1 - xx0) * max(0.0, yy1 - yy0)
+            a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a_j = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            iou = inter / max(a_i + a_j - inter, 1e-8)
+            if iou > thresh and scores[j] <= scores[i]:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+def _random_boxes(rng, n, size=100.0):
+    ctr = rng.uniform(10, size - 10, (n, 2))
+    wh = rng.uniform(2, 30, (n, 2))
+    return np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1).astype(np.float32)
+
+
+def test_nms_matches_greedy_reference():
+    rng = np.random.default_rng(0)
+    for n in [10, 100, 300]:  # spans <1 block and multi-block paths
+        boxes = _random_boxes(rng, n)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        for thresh in [0.3, 0.5, 0.7]:
+            order, keep, _ = nms(jnp.asarray(boxes), jnp.asarray(scores), thresh)
+            got = sorted(np.asarray(order)[np.asarray(keep)].tolist())
+            want = greedy_nms_reference(boxes, scores, thresh)
+            assert got == want, f"n={n} t={thresh}"
+
+
+def test_nms_respects_valid_mask():
+    boxes = jnp.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32
+    )
+    scores = jnp.array([0.9, 0.95, 0.5])
+    # Highest-scoring box invalidated: the overlapping lower one must survive.
+    valid = jnp.array([True, False, True])
+    order, keep, _ = nms(boxes, scores, 0.5, valid=valid)
+    kept = set(np.asarray(order)[np.asarray(keep)].tolist())
+    assert kept == {0, 2}
+
+
+def test_nms_fixed_shape_and_padding():
+    rng = np.random.default_rng(1)
+    boxes = _random_boxes(rng, 40)
+    scores = rng.uniform(0, 1, 40).astype(np.float32)
+    out_boxes, out_scores, out_idx, out_valid = nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_outputs=64
+    )
+    assert out_boxes.shape == (64, 4)
+    n_kept = len(greedy_nms_reference(boxes, scores, 0.5))
+    assert int(out_valid.sum()) == n_kept
+    # Scores must be descending over the valid prefix.
+    vs = np.asarray(out_scores)[np.asarray(out_valid)]
+    assert np.all(np.diff(vs) <= 0)
+
+
+def test_class_aware_nms_keeps_cross_class_overlaps():
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    scores = jnp.array([0.9, 0.8])
+    classes = jnp.array([0, 1])
+    _, _, _, valid = class_aware_nms(boxes, scores, classes, 0.5, 4)
+    assert int(valid.sum()) == 2  # identical boxes, different classes: both live
+    _, _, _, valid_agn = class_aware_nms(
+        boxes, scores, classes, 0.5, 4, class_agnostic=True
+    )
+    assert int(valid_agn.sum()) == 1
+
+
+def test_matrix_nms_decays_overlaps():
+    # Two nearly identical masks (same class): the second must decay hard.
+    m = np.zeros((3, 32, 32), np.float32)
+    m[0, 4:20, 4:20] = 1
+    m[1, 4:20, 5:21] = 1  # heavy overlap with 0
+    m[2, 24:30, 24:30] = 1  # disjoint
+    labels = jnp.array([1, 1, 1])
+    scores = jnp.array([0.9, 0.8, 0.7])
+    out = np.asarray(matrix_nms(jnp.asarray(m), labels, scores, kernel="gaussian"))
+    assert out[0] == 0.9  # top mask never decays
+    assert out[1] < 0.4  # heavily suppressed
+    assert out[2] > 0.65  # barely touched
+
+
+def test_matrix_nms_class_separation():
+    m = np.zeros((2, 16, 16), np.float32)
+    m[:, 2:10, 2:10] = 1  # identical masks
+    labels = jnp.array([0, 1])
+    scores = jnp.array([0.9, 0.8])
+    out = np.asarray(matrix_nms(jnp.asarray(m), labels, scores))
+    assert out[1] > 0.75  # different class: no suppression
