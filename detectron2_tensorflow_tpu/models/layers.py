@@ -1,0 +1,195 @@
+"""Shared NN building blocks: convs, norms, activations.
+
+Replaces the reference's lib/layers/{convolutional,normalization}.py. Convs
+are ``flax.linen`` modules over ``lax.conv_general_dilated`` (NHWC — the TPU-
+native layout; grouped/dilated conv is a single XLA op, no loop-split like
+the reference's _group_conv2d at convolutional.py:26-48). Norm inventory
+mirrors normalization.py:15-274:
+
+  * FrozenBN — inference-statistics BN with no trainable state; parameters
+    live in the ``frozen`` variable collection so optimizers never see them.
+  * BN / SyncBN — flax BatchNorm; SyncBN passes ``axis_name`` so the batch
+    statistics are ``lax.pmean``-reduced over the data mesh axis (the ICI
+    all-reduce replacing the reference's raw NCCL call at
+    normalization.py:120-165).
+  * GN — flax GroupNorm(32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+Dtype = Any
+
+
+def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    table = {
+        "": lambda x: x,
+        "relu": nn.relu,
+        "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+        "swish": nn.swish,
+        "silu": nn.swish,
+        "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
+        "gelu": nn.gelu,
+    }
+    if name not in table:
+        raise ValueError(f"unknown activation '{name}'")
+    return table[name]
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with statistics and affine params frozen (never trained).
+
+    The default ResNet norm for converted Detectron2 weights. All four
+    tensors live in the ``frozen`` collection; the transform is folded to a
+    single scale/shift so XLA fuses it into the adjacent conv.
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        init = nn.initializers.ones
+        zinit = nn.initializers.zeros
+        gamma = self.variable("frozen", "scale", init, None, (self.features,)).value
+        beta = self.variable("frozen", "bias", zinit, None, (self.features,)).value
+        mean = self.variable("frozen", "mean", zinit, None, (self.features,)).value
+        var = self.variable("frozen", "var", init, None, (self.features,)).value
+        scale = gamma * lax.rsqrt(var + self.eps)
+        shift = beta - mean * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """Trainable BN; ``axis_name`` set => SyncBN over that mesh axis."""
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.9
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+        )(x)
+
+
+class GroupNorm(nn.Module):
+    features: int
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype
+        )(x)
+
+
+def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32) -> Optional[nn.Module]:
+    """Norm factory keyed by the config vocabulary (reference get_norm)."""
+    if norm == "":
+        return None
+    if norm == "FrozenBN":
+        return FrozenBatchNorm(features, dtype=dtype)
+    if norm == "BN":
+        return BatchNorm(features, dtype=dtype)
+    if norm == "SyncBN":
+        return BatchNorm(features, axis_name="data", dtype=dtype)
+    if norm == "GN":
+        return GroupNorm(features, dtype=dtype)
+    raise ValueError(f"unknown norm '{norm}'")
+
+
+class Conv2D(nn.Module):
+    """Conv + optional norm + optional activation (NHWC, HWIO kernels).
+
+    ``use_bias`` defaults to "no norm => bias", matching D2 convention.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dilation: int = 1
+    groups: int = 1
+    norm: str = ""
+    activation: str = ""
+    use_bias: Optional[bool] = None
+    padding: str | Sequence = "SAME"
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bias = self.use_bias if self.use_bias is not None else self.norm == ""
+        padding = self.padding
+        if padding == "SAME" and self.strides > 1:
+            # Explicit symmetric padding: XLA "SAME" with stride 2 pads
+            # bottom/right-heavy like TF, but D2/torch pads evenly (k//2).
+            # Matching D2 is required for converted-weight parity.
+            p = (self.kernel_size - 1) // 2 * self.dilation
+            padding = [(p, p), (p, p)]
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            padding=padding,
+            use_bias=bias,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            name="conv",
+        )(x)
+        norm = get_norm(self.norm, self.features, self.dtype)
+        if norm is not None:
+            x = norm(x, train=train)
+        if self.activation:
+            x = get_activation(self.activation)(x)
+        return x
+
+
+class ConvTranspose2D(nn.Module):
+    """Transposed conv (mask-head deconv); reference convolutional.py:747-893."""
+
+    features: int
+    kernel_size: int = 2
+    strides: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="VALID" if self.kernel_size == self.strides else "SAME",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            name="deconv",
+        )(x)
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int, padding="SAME") -> jnp.ndarray:
+    if padding == "SAME" and stride > 1:
+        # Same even-padding consideration as Conv2D above (stem maxpool).
+        p = (window - 1) // 2
+        padding = [(p, p), (p, p)]
+    return nn.max_pool(
+        x, window_shape=(window, window), strides=(stride, stride), padding=padding
+    )

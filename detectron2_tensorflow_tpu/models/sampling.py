@@ -1,0 +1,63 @@
+"""Random foreground/background subsampling to fixed counts.
+
+Replaces the reference subsample_labels (/root/reference/lib/modeling/
+sampling.py:6-45). The reference shuffles with a global seed; here sampling
+is a pure function of an explicit ``jax.random`` key (parity in distribution,
+reproducible under jit). The fixed-shape trick: add uniform noise to a
+mask-derived score and take top-k — equivalent to sampling without
+replacement among eligible items.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_topk(key, eligible: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pick up to k of the eligible items uniformly. Returns (indices [k],
+    picked_valid [k]); when fewer than k eligible, the tail is invalid."""
+    noise = jax.random.uniform(key, eligible.shape)
+    score = jnp.where(eligible, noise, -1.0)
+    vals, idx = jax.lax.top_k(score, k)
+    return idx, vals >= 0.0
+
+
+def subsample_labels(
+    key: jax.Array,
+    labels: jnp.ndarray,
+    num_samples: int,
+    positive_fraction: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample positives (label==1) and negatives (label==0), ignoring -1.
+
+    Returns ``(indices [num_samples], is_positive [num_samples],
+    valid [num_samples])``. Positives come first (up to
+    num_samples*positive_fraction), negatives fill the remainder, matching
+    the reference's count policy: pos = min(#pos, f*N), neg =
+    min(#neg, N - pos).
+    """
+    kp, kn = jax.random.split(key)
+    num_pos_max = int(num_samples * positive_fraction)
+    pos_idx, pos_picked = _sample_topk(kp, labels == 1, num_pos_max)
+    num_pos = jnp.sum(pos_picked.astype(jnp.int32))
+
+    num_neg_slots = num_samples - num_pos_max
+    # Negatives may also backfill unused positive slots: sample the max
+    # possibly-needed count, then enable exactly (num_samples - num_pos).
+    neg_idx, neg_picked = _sample_topk(kn, labels == 0, num_samples)
+    neg_rank = jnp.cumsum(neg_picked.astype(jnp.int32)) - 1  # rank among picked
+    neg_take = neg_picked & (neg_rank < (num_samples - num_pos))
+
+    # Compose a fixed-size output: positives then negatives, compacted.
+    all_idx = jnp.concatenate([pos_idx, neg_idx])
+    all_pos = jnp.concatenate(
+        [jnp.ones_like(pos_idx, bool), jnp.zeros_like(neg_idx, bool)]
+    )
+    all_valid = jnp.concatenate([pos_picked, neg_take])
+    # Stable-compact valid entries to the front.
+    order = jnp.argsort(~all_valid, stable=True)
+    take = order[: num_samples]
+    return all_idx[take], all_pos[take], all_valid[take]

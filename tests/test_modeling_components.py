@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detectron2_tensorflow_tpu.models.anchors import DefaultAnchorGenerator
+from detectron2_tensorflow_tpu.models.box_regression import Box2BoxTransform
+from detectron2_tensorflow_tpu.models.matcher import Matcher
+from detectron2_tensorflow_tpu.models.sampling import subsample_labels
+
+
+def test_anchor_generator_matches_d2_convention():
+    gen = DefaultAnchorGenerator(
+        sizes=[[32]], aspect_ratios=[[1.0]], strides=[4]
+    )
+    anchors = gen([(2, 2)])[0]
+    assert anchors.shape == (4, 4)
+    # First cell: 32x32 square centered at (0, 0).
+    np.testing.assert_allclose(anchors[0], [-16, -16, 16, 16])
+    # Second cell along x: shifted by stride.
+    np.testing.assert_allclose(anchors[1], [-12, -16, 20, 16])
+
+
+def test_anchor_aspect_ratios():
+    gen = DefaultAnchorGenerator(sizes=[[64]], aspect_ratios=[[0.5, 1.0, 2.0]], strides=[8])
+    anchors = np.asarray(gen([(1, 1)])[0])
+    areas = (anchors[:, 2] - anchors[:, 0]) * (anchors[:, 3] - anchors[:, 1])
+    np.testing.assert_allclose(areas, 64.0 * 64.0, rtol=1e-5)
+    ratios = (anchors[:, 3] - anchors[:, 1]) / (anchors[:, 2] - anchors[:, 0])
+    np.testing.assert_allclose(sorted(ratios), [0.5, 1.0, 2.0], rtol=1e-5)
+
+
+def test_box2box_roundtrip():
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 100, (32, 2))
+    src = np.concatenate([src, src + rng.uniform(5, 50, (32, 2))], -1).astype(np.float32)
+    tgt = rng.uniform(0, 100, (32, 2))
+    tgt = np.concatenate([tgt, tgt + rng.uniform(5, 50, (32, 2))], -1).astype(np.float32)
+    t = Box2BoxTransform((10.0, 10.0, 5.0, 5.0))
+    deltas = t.get_deltas(jnp.asarray(src), jnp.asarray(tgt))
+    rec = t.apply_deltas(deltas, jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(rec), tgt, atol=5e-3)  # f32 exp/log
+
+
+def test_box2box_scale_clamp():
+    t = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
+    deltas = jnp.array([[0.0, 0.0, 100.0, 100.0]])  # absurd growth
+    out = t.apply_deltas(deltas, jnp.array([[0.0, 0.0, 10.0, 10.0]]))
+    w = float(out[0, 2] - out[0, 0])
+    assert w <= 10.0 * 1000.0 / 16.0 + 1e-3
+
+
+def test_matcher_thresholds_and_ignore():
+    m = Matcher([0.3, 0.7], [0, -1, 1])
+    # 2 GT x 4 anchors quality matrix
+    q = jnp.array(
+        [
+            [0.8, 0.5, 0.1, 0.0],
+            [0.2, 0.6, 0.25, 0.9],
+        ]
+    )
+    idx, labels = m(q, jnp.array([True, True]))
+    np.testing.assert_array_equal(labels, [1, -1, 0, 1])
+    np.testing.assert_array_equal(idx, [0, 1, 1, 1])
+
+
+def test_matcher_low_quality_recovery():
+    m = Matcher([0.3, 0.7], [0, -1, 1], allow_low_quality_matches=True)
+    # GT 1's best anchor has only 0.25 IoU: still becomes positive.
+    q = jnp.array([[0.8, 0.1], [0.2, 0.25]])
+    _, labels = m(q, jnp.array([True, True]))
+    np.testing.assert_array_equal(labels, [1, 1])
+
+
+def test_matcher_invalid_gt_is_background():
+    m = Matcher([0.5], [0, 1], allow_low_quality_matches=True)
+    q = jnp.array([[0.9, 0.9], [0.95, 0.1]])
+    _, labels = m(q, jnp.array([True, False]))  # second GT padded out
+    np.testing.assert_array_equal(labels, [1, 1])
+    _, labels = m(q, jnp.array([False, False]))  # no GT at all
+    np.testing.assert_array_equal(labels, [0, 0])
+
+
+def test_subsample_labels_counts():
+    key = jax.random.PRNGKey(0)
+    labels = jnp.array([1] * 10 + [0] * 100 + [-1] * 20)
+    idx, is_pos, valid = subsample_labels(key, labels, 64, 0.25)
+    assert idx.shape == (64,)
+    n_pos = int((is_pos & valid).sum())
+    n_neg = int((~is_pos & valid).sum())
+    assert n_pos == 10  # all positives fit under the 16 cap
+    assert n_neg == 54  # negatives backfill to 64 total
+    # Sampled indices point at the right labels.
+    lab = np.asarray(labels)[np.asarray(idx)]
+    assert np.all(lab[np.asarray(is_pos & valid)] == 1)
+    assert np.all(lab[np.asarray(~is_pos & valid)] == 0)
+
+
+def test_subsample_labels_scarce_negatives():
+    key = jax.random.PRNGKey(1)
+    labels = jnp.array([1] * 4 + [0] * 3 + [-1] * 40)
+    idx, is_pos, valid = subsample_labels(key, labels, 32, 0.5)
+    assert int((is_pos & valid).sum()) == 4
+    assert int((~is_pos & valid).sum()) == 3
+    assert int(valid.sum()) == 7  # can't invent samples
+
+
+def test_subsample_positive_cap():
+    key = jax.random.PRNGKey(2)
+    labels = jnp.array([1] * 100 + [0] * 100)
+    _, is_pos, valid = subsample_labels(key, labels, 64, 0.25)
+    assert int((is_pos & valid).sum()) == 16  # capped at fraction
+    assert int(valid.sum()) == 64
