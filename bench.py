@@ -1,0 +1,89 @@
+"""Benchmark: Mask R-CNN R50-FPN inference images/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: Detectron2 model zoo Mask R-CNN R50-FPN 1x on V100 = 0.043 s/im
+(23.3 img/s); the north-star goal is >= 2x that per chip (BASELINE.md).
+
+Runs at the COCO serving shape (800x1344 bucket), bf16 trunk, batched to
+saturate the chip; reports per-image throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+V100_BASELINE_IMG_S = 23.3
+
+
+def main():
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.DTYPE = "bfloat16"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.NECK.NAME = "FPN"
+    cfg.MODEL.NECK.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
+    cfg.TEST.DETECTIONS_PER_IMAGE = 100
+
+    model = build_model(cfg)
+
+    batch_size = 4
+    h, w = 800, 1344  # COCO shortest-side-800 landscape bucket
+    batch = {
+        "image": jnp.full((batch_size, h, w, 3), 110.0, jnp.float32),
+        "image_size": jnp.tile(jnp.array([[800, 1333]], jnp.int32), (batch_size, 1)),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    predict = jax.jit(model.predict)
+
+    def sync(o):
+        # NOTE: jax.block_until_ready is a no-op over this host's axon TPU
+        # tunnel; a device->host fetch of a scalar is the reliable barrier.
+        return float(jax.device_get(o.scores.sum()))
+
+    out = predict(variables, batch)  # compile
+    sync(out)
+
+    # Timed runs: dispatch the whole queue, then one sync (in-order device
+    # execution makes the final fetch wait for everything).
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(variables, batch)
+    sync(out)
+    dt = time.perf_counter() - t0
+    img_s = batch_size * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "maskrcnn_r50_fpn_inference_images_per_sec_per_chip",
+                "value": round(img_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .train import TrainState, build_train_step, create_train_state, train
+
+__all__ = ["TrainState", "build_train_step", "create_train_state", "train"]

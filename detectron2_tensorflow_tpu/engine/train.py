@@ -1,0 +1,176 @@
+"""Training engine: functional train state, jitted sharded step, loop.
+
+Replaces the reference trainer (/root/reference/lib/engine/trainer.py:43-199)
+and the whole model_deploy clone machinery: one ``jit`` over the mesh is the
+multi-device training step. Checkpointing is Orbax with the reference's
+two-tier retention policy (solver/checkpoint_keeper.py:6-50 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.meta_arch.common import DetectorModel
+from ..parallel import batch_sharding, create_mesh, replicate, shard_batch
+from ..solver import build_optimizer, scaled_max_iter
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    model_state: Any  # non-trainable collections (frozen BN, batch_stats)
+    opt_state: Any
+    aux: Any  # model-driver state (e.g. RetinaNet EMA loss normalizer)
+    rng: jax.Array
+
+
+def create_train_state(cfg, model: DetectorModel, rng: jax.Array, sample_batch) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    variables = jax.jit(model.init)(init_rng, sample_batch)
+    variables = dict(variables)
+    params = variables.pop("params")
+    tx = build_optimizer(cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=variables,
+        opt_state=tx.init(params),
+        aux=model.initial_state,
+        rng=state_rng,
+    )
+
+
+def build_train_step(cfg, model: DetectorModel, example_params, mesh=None):
+    """Returns jitted step_fn(state, batch) -> (state, metrics).
+
+    With a mesh: params/state replicated, batch sharded over 'data'; XLA's
+    sharding propagation inserts the ICI gradient all-reduce (there is no
+    explicit pmean — see parallel/__init__.py).
+    """
+    tx = build_optimizer(cfg, example_params)
+
+    def step_fn(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def scalar_loss(params):
+            variables = {"params": params, **state.model_state}
+            total, (loss_dict, new_aux) = model.loss_fn(
+                variables, batch, step_rng, state.aux
+            )
+            return total, (loss_dict, new_aux)
+
+        (total, (loss_dict, new_aux)), grads = jax.value_and_grad(
+            scalar_loss, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"total_loss": total, **loss_dict}
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            aux=new_aux,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    bs = batch_sharding(mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(rep, bs),
+        out_shardings=(rep, rep),
+    )
+
+
+def train(
+    cfg,
+    model: DetectorModel,
+    data_iter: Iterator[Dict],
+    mesh=None,
+    max_iter: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    log_every: int = 10,
+) -> TrainState:
+    """The reference's MonitoredTrainingSession loop, functionally.
+
+    ``data_iter`` yields device-ready batch dicts (fixed shapes). Returns the
+    final TrainState.
+    """
+    if mesh is None:
+        mesh = create_mesh(cfg.PARALLEL.DATA_AXIS, cfg.PARALLEL.MODEL_AXIS)
+    max_iter = max_iter if max_iter is not None else scaled_max_iter(cfg)
+
+    rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+    first = next(data_iter)
+    state = create_train_state(cfg, model, rng, first)
+    state = replicate(mesh, state)
+    step_fn = build_train_step(cfg, model, state.params, mesh)
+
+    ckpt_mgr = None
+    if checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        ckpt_mgr = ocp.CheckpointManager(
+            os.path.abspath(checkpoint_dir),
+            options=ocp.CheckpointManagerOptions(
+                save_interval_steps=cfg.SOLVER.SHORT_TERM_SAVE_STEPS,
+                max_to_keep=max(
+                    1,
+                    cfg.SOLVER.SHORT_TERM_NUM_STEPS
+                    // max(cfg.SOLVER.SHORT_TERM_SAVE_STEPS, 1),
+                ),
+                keep_period=cfg.SOLVER.LONG_TERM_SAVE_STEPS,
+            ),
+        )
+
+    batch = first
+    t_last = time.time()
+    for it in range(max_iter):
+        state, metrics = step_fn(state, shard_batch(mesh, batch))
+        if it + 1 < max_iter:
+            batch = next(data_iter)
+        if (it + 1) % log_every == 0:
+            metrics = jax.device_get(metrics)
+            dt = (time.time() - t_last) / log_every
+            t_last = time.time()
+            logger.info(
+                "iter %d/%d  %s  (%.3fs/it)",
+                it + 1,
+                max_iter,
+                {k: round(float(v), 4) for k, v in metrics.items()},
+                dt,
+            )
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(it + 1, args=_ckpt_args(state))
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
+    return state
+
+
+def _ckpt_args(state: TrainState):
+    import orbax.checkpoint as ocp
+
+    return ocp.args.StandardSave(
+        {
+            "params": state.params,
+            "model_state": state.model_state,
+            "opt_state": state.opt_state,
+            "aux": state.aux,
+            "step": state.step,
+        }
+    )

@@ -67,12 +67,15 @@ class FrozenBatchNorm(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """Trainable BN; ``axis_name`` set => SyncBN over that mesh axis."""
+    """Trainable BN. Under the pjit data mesh the batch axis is globally
+    sharded, so the moments XLA computes are *global-batch* statistics — i.e.
+    BN on the mesh IS SyncBN (the collective the reference hand-rolls with
+    NCCL at normalization.py:120-165 falls out of sharding propagation)."""
 
     features: int
     eps: float = 1e-5
     momentum: float = 0.9
-    axis_name: Optional[str] = None
+    axis_name: Optional[str] = None  # kept for explicit shard_map use
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -105,10 +108,8 @@ def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32) -> Optional[n
         return None
     if norm == "FrozenBN":
         return FrozenBatchNorm(features, dtype=dtype)
-    if norm == "BN":
+    if norm in ("BN", "SyncBN"):  # identical under the pjit data mesh
         return BatchNorm(features, dtype=dtype)
-    if norm == "SyncBN":
-        return BatchNorm(features, axis_name="data", dtype=dtype)
     if norm == "GN":
         return GroupNorm(features, dtype=dtype)
     raise ValueError(f"unknown norm '{norm}'")

@@ -1,0 +1,213 @@
+"""Multi-level ROI pooling (FPN-paper level assignment + ROIAlign).
+
+The reference pools per level then regathers with an inverse permutation
+(/root/reference/lib/modeling/poolers.py:11-180, a tf.map_fn pipeline).
+
+TPU-native design (v2, patch-matmul): TPU gathers run at ~1e8 rows/s, so the
+classic 4-corner-per-sample-point gather (4*N*S*S row fetches) is latency-
+bound and slow. Instead each ROI fetches ONE contiguous [P, P, C] patch from
+its assigned pyramid level (a single big-slice gather — DMA-friendly), and
+the bilinear interpolation + bin averaging collapse into two small per-ROI
+matmuls against precomputed hat-weight matrices:
+
+    out[n] = Wy[n] (S x P)  @  patch[n] (P x P x C)  @  Wx[n]^T
+
+which run on the MXU at negligible cost. Level assignment is the FPN rule
+plus an extent bound (level raised until max(w, h)/stride <= P-2) so every
+ROI's sample span fits its patch — this deviates from pure-area assignment
+only for extreme-aspect-ratio boxes, where pooling from one level coarser is
+an accepted approximation. Sampling math (half-pixel offsets, [-1, size]
+zero border, clamp) is exactly Detectron2's aligned=True.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_PATCH = 48
+
+
+def assign_boxes_to_levels(
+    boxes: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    patch_size: int = 0,
+) -> jnp.ndarray:
+    """FPN paper eqn (1): level = floor(k0 + log2(sqrt(wh)/224)), clamped.
+
+    With ``patch_size > 0`` the level is additionally raised until
+    ``max(w, h) / stride <= patch_size - 2`` (see module docstring).
+    Returns [N] int32 level indices relative to min_level.
+    """
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    sqrt_area = jnp.sqrt(w * h)
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(sqrt_area / canonical_box_size + 1e-8)
+    )
+    if patch_size > 0:
+        max_side = jnp.maximum(w, h)
+        extent_lvl = jnp.ceil(
+            jnp.log2(jnp.maximum(max_side / (patch_size - 2), 1e-8))
+        )
+        lvl = jnp.maximum(lvl, extent_lvl)
+    lvl = jnp.clip(lvl, min_level, max_level)
+    return (lvl - min_level).astype(jnp.int32)
+
+
+def _interp_weights(coords, ty, size_l, patch_size, out_size, ratio):
+    """Per-ROI bin-averaged hat weights.
+
+    coords: [N, S] sample coordinates (S = out*ratio) in level space;
+    ty: [N] patch origin; size_l: [N] level extent. Returns [N, out, P]
+    weights implementing D2's clamp-to-[0,size-1] + zero-outside-[-1,size]
+    border rule, with the ratio-bin mean folded in.
+    """
+    n, s = coords.shape
+    in_range = (coords >= -1.0) & (coords <= size_l[:, None])
+    clamped = jnp.clip(coords, 0.0, size_l[:, None] - 1.0)
+    local = clamped - ty[:, None]  # within [0, P-1] by construction
+    cells = jnp.arange(patch_size, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, :, None] - cells[None, None, :]))
+    w = w * in_range[:, :, None]
+    # Fold the sampling-bin average: mean over each group of `ratio` samples.
+    w = w.reshape(n, out_size, ratio, patch_size).mean(axis=2)
+    return w  # [N, out, P]
+
+
+def multilevel_roi_align(
+    features: List[jnp.ndarray],
+    boxes: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    patch_size: int = DEFAULT_PATCH,
+) -> jnp.ndarray:
+    """Pool [N, 4] xyxy boxes from a feature pyramid (list of [Hl, Wl, C]).
+
+    Returns [N, out, out, C] in the features' dtype.
+    """
+    assert len(features) == len(strides)
+    c = features[0].shape[-1]
+    if sampling_ratio <= 0:
+        sampling_ratio = 2  # static stand-in for D2's adaptive ceil rule
+    s = output_size * sampling_ratio
+    n = boxes.shape[0]
+    p = patch_size
+
+    # Stack levels into one padded [L, Hm, Wm, C] tensor for patch slicing.
+    h_max = max(max(f.shape[0] for f in features), p)
+    w_max = max(max(f.shape[1] for f in features), p)
+    stacked = jnp.stack(
+        [
+            jnp.pad(
+                f,
+                ((0, h_max - f.shape[0]), (0, w_max - f.shape[1]), (0, 0)),
+            )
+            for f in features
+        ]
+    )
+
+    heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
+    widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+    scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)
+
+    min_level = int(math.log2(strides[0]))
+    max_level = int(math.log2(strides[-1]))
+    levels = assign_boxes_to_levels(
+        boxes, min_level, max_level, canonical_box_size, canonical_level,
+        patch_size=p,
+    )  # [N], 0-based
+
+    scale = jnp.take(scales, levels)
+    h_l = jnp.take(heights, levels)
+    w_l = jnp.take(widths, levels)
+
+    scaled = boxes * scale[:, None]
+    x0 = scaled[:, 0] - 0.5
+    y0 = scaled[:, 1] - 0.5
+    roi_w = scaled[:, 2] - scaled[:, 0]
+    roi_h = scaled[:, 3] - scaled[:, 1]
+
+    steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = y0[:, None] + steps[None, :] * roi_h[:, None]  # [N, S]
+    xs = x0[:, None] + steps[None, :] * roi_w[:, None]
+
+    # Patch origin: floor of the first clamped sample, kept inside bounds.
+    ty = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, None)), 0.0, h_max - p)
+    tx = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)), 0.0, w_max - p)
+
+    wy = _interp_weights(ys, ty, h_l, p, output_size, sampling_ratio)
+    wx = _interp_weights(xs, tx, w_l, p, output_size, sampling_ratio)
+
+    starts = jnp.stack(
+        [levels, ty.astype(jnp.int32), tx.astype(jnp.int32)], axis=1
+    )  # [N, 3]
+
+    def fetch(st):
+        sl = jax.lax.dynamic_slice(stacked, (st[0], st[1], st[2], 0), (1, p, p, c))
+        return sl[0]
+
+    patches = jax.vmap(fetch)(starts)  # [N, P, P, C]
+
+    dt = features[0].dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    # out[n, o, q, c] = sum_p wy[n, o, p] * patch[n, p, q, c]
+    a = jnp.einsum("nop,npqc->noqc", wy.astype(dt), patches, precision=prec)
+    # out[n, o, u, c] = sum_q wx[n, u, q] * a[n, o, q, c]
+    out = jnp.einsum("nuq,noqc->nouc", wx.astype(dt), a, precision=prec)
+    return out
+
+
+class ROIPooler:
+    """Config-bound pooler: holds static level/stride/output metadata."""
+
+    def __init__(
+        self,
+        output_size: int,
+        strides: Sequence[int],
+        sampling_ratio: int,
+        pooler_type: str = "ROIAlignV2",
+        canonical_box_size: int = 224,
+        canonical_level: int = 4,
+    ):
+        assert pooler_type in ("ROIAlignV2", "ROIAlign"), pooler_type
+        self.output_size = output_size
+        self.strides = list(strides)
+        self.sampling_ratio = sampling_ratio
+        self.aligned = pooler_type == "ROIAlignV2"
+        self.canonical_box_size = canonical_box_size
+        self.canonical_level = canonical_level
+
+    def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
+        """features: per-level [Hl, Wl, C] (single image); boxes [N, 4]."""
+        if len(features) == 1:
+            from ..ops.roi_align import roi_align
+
+            return roi_align(
+                features[0],
+                boxes,
+                1.0 / self.strides[0],
+                self.output_size,
+                self.sampling_ratio,
+                aligned=self.aligned,
+            )
+        return multilevel_roi_align(
+            features,
+            boxes,
+            self.strides,
+            self.output_size,
+            self.sampling_ratio,
+            self.canonical_box_size,
+            self.canonical_level,
+        )

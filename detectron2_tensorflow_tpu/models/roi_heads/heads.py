@@ -1,0 +1,77 @@
+"""Box and mask head modules (FastRCNNConvFCHead, MaskRCNNConvUpsampleHead).
+
+Parity: /root/reference/lib/modeling/roi_heads/box_head.py:16-97 and
+mask_head.py:17-183. Param names (fc1/fc2, mask_fcn{i}, deconv, predictor)
+match Detectron2 checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..layers import Conv2D, ConvTranspose2D, get_norm
+
+
+class FastRCNNConvFCHead(nn.Module):
+    """k convs + n FCs on pooled features -> [N, fc_dim]."""
+
+    num_conv: int = 0
+    conv_dim: int = 256
+    num_fc: int = 2
+    fc_dim: int = 1024
+    norm: str = ""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        for i in range(self.num_conv):
+            x = Conv2D(
+                self.conv_dim, 3, norm=self.norm, activation="relu",
+                dtype=self.dtype, name=f"conv{i + 1}",
+            )(x, train=train)
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fc):
+            x = nn.Dense(
+                self.fc_dim, dtype=self.dtype,
+                kernel_init=nn.initializers.variance_scaling(
+                    1.0, "fan_in", "uniform"
+                ),
+                name=f"fc{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class MaskRCNNConvUpsampleHead(nn.Module):
+    """num_conv 3x3s + 2x deconv + 1x1 per-class mask logits.
+
+    Input [N, S, S, C] -> [N, 2S, 2S, K] logits.
+    """
+
+    num_classes: int
+    num_conv: int = 4
+    conv_dim: int = 256
+    norm: str = ""
+    cls_agnostic: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        for i in range(self.num_conv):
+            x = Conv2D(
+                self.conv_dim, 3, norm=self.norm, activation="relu",
+                dtype=self.dtype, name=f"mask_fcn{i + 1}",
+            )(x, train=train)
+        x = ConvTranspose2D(self.conv_dim, 2, 2, dtype=self.dtype, name="deconv")(
+            x, train=train
+        )
+        x = nn.relu(x)
+        out_ch = 1 if self.cls_agnostic else self.num_classes
+        x = Conv2D(
+            out_ch, 1, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.001), name="predictor",
+        )(x, train=train)
+        return x

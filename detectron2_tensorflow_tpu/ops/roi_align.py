@@ -28,6 +28,26 @@ import jax
 import jax.numpy as jnp
 
 
+def avg_pool_bins(val: jnp.ndarray, ratio: int) -> jnp.ndarray:
+    """[N, S, S, C] -> [N, S/r, S/r, C] mean pool via reduce_window.
+
+    A reshape to [..., out, r, out, r, c] leaves tiny trailing dims that TPU
+    tiling pads ~70x (875MB temps at production shapes); reduce_window keeps
+    the layout intact.
+    """
+    if ratio == 1:
+        return val
+    summed = jax.lax.reduce_window(
+        val,
+        jnp.zeros((), val.dtype),
+        jax.lax.add,
+        window_dimensions=(1, ratio, ratio, 1),
+        window_strides=(1, ratio, ratio, 1),
+        padding="VALID",
+    )
+    return summed / (ratio * ratio)
+
+
 def _bilinear_gather(flat_features, h, w, ys, xs):
     """Sample ``flat_features`` [H*W, C] at float coords (ys, xs) [P] -> [P, C].
 
@@ -113,8 +133,7 @@ def roi_align(
         vals = _bilinear_gather(
             flat, h, w, grid_y.reshape(-1), grid_x.reshape(-1)
         )  # [chunk*S*S, C]
-        vals = vals.reshape(chunk, output_size, sampling_ratio, output_size, sampling_ratio, c)
-        return vals.mean(axis=(2, 4))  # [chunk, out, out, C]
+        return avg_pool_bins(vals.reshape(chunk, s, s, c), sampling_ratio)
 
     if n <= chunk_size:
         return pool_chunk((ys, xs))

@@ -1,18 +1,12 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax initializes a backend. The driver's bench path
-does not import this file, so TPU execution is unaffected.
+Note: this host pins JAX_PLATFORMS=axon in the environment and the plugin
+wins over env-var overrides, so we must force the platform through
+jax.config *before* any backend is initialized.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
