@@ -1,0 +1,144 @@
+"""COCO-format dataset access: JSON parsing + self-contained mask decoding.
+
+Replaces the reference's pycocotools dependency (not available in this
+image) with numpy implementations of polygon rasterization (cv2.fillPoly)
+and COCO uncompressed-counts RLE decoding. Produces the sample dicts
+consumed by data/transforms.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+
+def decode_rle(rle: Dict, h: int, w: int) -> np.ndarray:
+    """Decode COCO RLE (uncompressed counts list or compressed LEB128-style
+    string) to a [h, w] uint8 mask. Column-major order per COCO spec."""
+    counts = rle["counts"]
+    if isinstance(counts, str):
+        counts = _decode_compressed_counts(counts.encode("ascii"))
+    flat = np.zeros(h * w, np.uint8)
+    pos = 0
+    val = 0
+    for c in counts:
+        flat[pos : pos + c] = val
+        pos += c
+        val = 1 - val
+    return flat.reshape(w, h).T  # column-major
+
+
+def _decode_compressed_counts(s: bytes) -> List[int]:
+    """COCO's modified-LEB128 run-length encoding (coco mask API cString)."""
+    counts = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def segmentation_to_mask(seg, h: int, w: int) -> np.ndarray:
+    """COCO segmentation (polygon list or RLE dict) -> [h, w] uint8 mask."""
+    if isinstance(seg, dict):
+        return decode_rle(seg, h, w)
+    mask = np.zeros((h, w), np.uint8)
+    for poly in seg:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    return mask
+
+
+class CocoDataset:
+    """Indexable COCO detection/instance-segmentation dataset.
+
+    ``category_map``: contiguous 0-based class ids from sorted COCO ids
+    (the Detectron2 convention — required for converted-weight parity).
+    """
+
+    def __init__(
+        self,
+        annotation_file: str,
+        image_root: str,
+        load_masks: bool = True,
+        filter_empty: bool = True,
+    ):
+        with open(annotation_file) as f:
+            coco = json.load(f)
+        self.image_root = image_root
+        self.load_masks = load_masks
+        cat_ids = sorted(c["id"] for c in coco.get("categories", []))
+        self.cat_id_to_contiguous = {cid: i for i, cid in enumerate(cat_ids)}
+        self.contiguous_to_cat_id = {i: cid for cid, i in self.cat_id_to_contiguous.items()}
+        self.class_names = [
+            c["name"] for c in sorted(coco.get("categories", []), key=lambda c: c["id"])
+        ]
+
+        anns_by_image: Dict[int, List] = {}
+        for a in coco.get("annotations", []):
+            anns_by_image.setdefault(a["image_id"], []).append(a)
+
+        self.images = []
+        for img in coco["images"]:
+            anns = anns_by_image.get(img["id"], [])
+            if filter_empty and not anns:
+                continue
+            self.images.append((img, anns))
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int) -> Dict:
+        img_info, anns = self.images[idx]
+        path = os.path.join(self.image_root, img_info["file_name"])
+        image = cv2.imread(path, cv2.IMREAD_COLOR)
+        if image is None:
+            raise FileNotFoundError(path)
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        h, w = image.shape[:2]
+
+        boxes, classes, is_crowd, masks = [], [], [], []
+        for a in anns:
+            x, y, bw, bh = a["bbox"]
+            if bw <= 0 or bh <= 0:
+                continue
+            boxes.append([x, y, x + bw, y + bh])
+            classes.append(self.cat_id_to_contiguous[a["category_id"]])
+            is_crowd.append(bool(a.get("iscrowd", 0)))
+            if self.load_masks:
+                seg = a.get("segmentation")
+                masks.append(
+                    segmentation_to_mask(seg, h, w)
+                    if seg
+                    else np.zeros((h, w), np.uint8)
+                )
+        sample = {
+            "image": image,
+            "image_id": img_info["id"],
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "is_crowd": np.asarray(is_crowd, bool),
+        }
+        if self.load_masks:
+            sample["masks"] = (
+                np.stack(masks).astype(np.float32)
+                if masks
+                else np.zeros((0, h, w), np.float32)
+            )
+        return sample

@@ -1,0 +1,158 @@
+"""Batched, bucketed, fixed-shape data loading.
+
+Replaces the reference tf.data pipeline (/root/reference/lib/data/
+dataloader.py:11-145). TPU-first differences:
+
+  * aspect-ratio bucketing maps to a SMALL STATIC set of (H, W) pad buckets
+    from ``cfg.INPUT.PAD_BUCKETS`` so jit compiles once per bucket (the
+    reference pads to the dynamic per-batch max, which would recompile);
+  * GT is padded to ``cfg.INPUT.MAX_GT_INSTANCES`` with validity masks;
+  * a background thread prefetches batches (the tf.data prefetch knob).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from . import transforms
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[tuple]) -> tuple:
+    """Smallest bucket that fits (h, w); falls back to the largest."""
+    best = None
+    for bh, bw in buckets:
+        if h <= bh and w <= bw:
+            area = bh * bw
+            if best is None or area < best[0]:
+                best = (area, (bh, bw))
+    if best is not None:
+        return best[1]
+    return max(buckets, key=lambda b: b[0] * b[1])
+
+
+def pad_sample_to_batch_arrays(sample: Dict, bucket, max_gt: int, mini_mask: int) -> Dict:
+    """One transformed sample -> fixed-shape numpy arrays."""
+    bh, bw = bucket
+    img = sample["image"]
+    h, w = img.shape[:2]
+    image = np.zeros((bh, bw, 3), np.float32)
+    image[:h, :w] = img
+
+    n = len(sample["boxes"])
+    keep = min(n, max_gt)
+    gt_boxes = np.zeros((max_gt, 4), np.float32)
+    gt_classes = np.zeros((max_gt,), np.int32)
+    gt_valid = np.zeros((max_gt,), bool)
+    gt_is_crowd = np.zeros((max_gt,), bool)
+    gt_boxes[:keep] = sample["boxes"][:keep]
+    gt_classes[:keep] = sample["classes"][:keep]
+    gt_valid[:keep] = True
+    gt_is_crowd[:keep] = sample["is_crowd"][:keep]
+
+    out = {
+        "image": image,
+        "image_size": np.array([h, w], np.int32),
+        "original_size": np.asarray(sample.get("original_size", (h, w)), np.int32),
+        "image_id": np.asarray(sample.get("image_id", 0), np.int64),
+        "gt_boxes": gt_boxes,
+        "gt_classes": gt_classes,
+        "gt_valid": gt_valid,
+        "gt_is_crowd": gt_is_crowd,
+    }
+    if sample.get("masks") is not None:
+        gt_masks = np.zeros((max_gt, mini_mask, mini_mask), np.float32)
+        gt_masks[:keep] = sample["masks"][:keep]
+        out["gt_masks"] = gt_masks
+    if sample.get("sem_seg") is not None:
+        sem = np.full((bh, bw), -1, np.int32)
+        sem[:h, :w] = sample["sem_seg"]
+        out["gt_sem_seg"] = sem
+    return out
+
+
+def build_dataloader(
+    cfg,
+    dataset,
+    training: bool,
+    batch_size: Optional[int] = None,
+    seed: int = 0,
+    num_prefetch: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield fixed-shape batch dicts forever (training) or one epoch (eval).
+
+    ``dataset``: indexable returning transform-ready sample dicts
+    (e.g. CocoDataset). Batches group samples by pad bucket (aspect-ratio
+    bucketing with static shapes).
+    """
+    batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
+    buckets = [tuple(b) for b in cfg.INPUT.PAD_BUCKETS]
+    max_gt = cfg.INPUT.MAX_GT_INSTANCES
+    mini = cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE
+    rng = np.random.default_rng(seed)
+
+    def sample_stream():
+        epoch = 0
+        while True:
+            order = np.arange(len(dataset))
+            if training and cfg.DATALOADER.SHUFFLE:
+                rng.shuffle(order)
+            if not training and cfg.DATALOADER.SAMPLE_1_OF_N > 1:
+                order = order[:: cfg.DATALOADER.SAMPLE_1_OF_N]
+            for i in order:
+                raw = dataset[int(i)]
+                orig_size = raw["image"].shape[:2]
+                s, _ = transforms.run(cfg, raw, training, rng)
+                s["original_size"] = orig_size
+                yield s
+            epoch += 1
+            if not training:
+                return
+
+    def batch_stream():
+        pools: Dict[tuple, List[Dict]] = {}
+        tail: List[Dict] = []
+        for s in sample_stream():
+            h, w = s["image"].shape[:2]
+            bucket = pick_bucket(h, w, buckets)
+            pools.setdefault(bucket, []).append(
+                pad_sample_to_batch_arrays(s, bucket, max_gt, mini)
+            )
+            if len(pools[bucket]) == batch_size:
+                batch = pools.pop(bucket)
+                yield {k: np.stack([b[k] for b in batch]) for k in batch[0]}
+        if not training:
+            # Flush remainders, padding by repeating the last sample so the
+            # batch shape stays static; callers drop duplicates by image_id.
+            for bucket, batch in pools.items():
+                while len(batch) < batch_size:
+                    pad = dict(batch[-1])
+                    pad["image_id"] = np.asarray(-1, np.int64)  # marks padding
+                    batch.append(pad)
+                yield {k: np.stack([b[k] for b in batch]) for k in batch[0]}
+
+    n_prefetch = (
+        num_prefetch
+        if num_prefetch is not None
+        else max(1, cfg.DATALOADER.NUM_PREFETCH_BATCHES)
+    )
+    q: queue.Queue = queue.Queue(maxsize=n_prefetch)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for b in batch_stream():
+                q.put(b)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item

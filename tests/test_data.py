@@ -1,0 +1,159 @@
+import numpy as np
+import pytest
+
+from detectron2_tensorflow_tpu.config import get_cfg
+from detectron2_tensorflow_tpu.data import build_dataloader, pick_bucket, transforms
+from detectron2_tensorflow_tpu.data.coco import segmentation_to_mask
+
+
+class SyntheticDataset:
+    """Deterministic little detection dataset (drawn rectangles)."""
+
+    def __init__(self, n=8, h=97, w=153, num_classes=3, with_masks=True, seed=0):
+        self.n, self.h, self.w = n, h, w
+        self.num_classes = num_classes
+        self.with_masks = with_masks
+        self.rng = np.random.default_rng(seed)
+        self.samples = [self._make(i) for i in range(n)]
+        # CocoDataset-compatible surface for the eval loop:
+        self.images = [({"id": i, "file_name": f"{i}.jpg"}, []) for i in range(n)]
+
+    def _make(self, i):
+        rng = np.random.default_rng(i)
+        img = rng.integers(0, 255, (self.h, self.w, 3), np.uint8)
+        k = rng.integers(1, 4)
+        boxes, classes, masks = [], [], []
+        for _ in range(k):
+            x0, y0 = rng.uniform(0, self.w - 30), rng.uniform(0, self.h - 30)
+            bw, bh = rng.uniform(10, 30), rng.uniform(10, 30)
+            box = [x0, y0, min(x0 + bw, self.w), min(y0 + bh, self.h)]
+            boxes.append(box)
+            cls = int(rng.integers(0, self.num_classes))
+            classes.append(cls)
+            img[int(box[1]) : int(box[3]), int(box[0]) : int(box[2])] = (cls + 1) * 60
+            m = np.zeros((self.h, self.w), np.float32)
+            m[int(box[1]) : int(box[3]), int(box[0]) : int(box[2])] = 1
+            masks.append(m)
+        s = {
+            "image": img,
+            "image_id": i,
+            "boxes": np.asarray(boxes, np.float32),
+            "classes": np.asarray(classes, np.int32),
+            "is_crowd": np.zeros(k, bool),
+        }
+        if self.with_masks:
+            s["masks"] = np.stack(masks)
+        return s
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {k: (v.copy() if isinstance(v, np.ndarray) else v) for k, v in self.samples[i].items()}
+
+
+def small_cfg():
+    cfg = get_cfg()
+    cfg.TRANSFORM.RESIZE.MIN_SIZE_TRAIN = (64,)
+    cfg.TRANSFORM.RESIZE.MAX_SIZE_TRAIN = 128
+    cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST = 64
+    cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST = 128
+    cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE = 28
+    cfg.INPUT.PAD_BUCKETS = ((64, 128), (128, 64))
+    cfg.INPUT.MAX_GT_INSTANCES = 8
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    return cfg
+
+
+def test_flip_roundtrip():
+    ds = SyntheticDataset(n=1)
+    s = ds[0]
+    f2 = transforms.flip_horizontal(transforms.flip_horizontal(s))
+    np.testing.assert_array_equal(f2["image"], s["image"])
+    np.testing.assert_allclose(f2["boxes"], s["boxes"])
+
+
+def test_flip_moves_boxes_with_content():
+    ds = SyntheticDataset(n=1)
+    s = ds[0]
+    f = transforms.flip_horizontal(s)
+    # The object pixels must still be inside the flipped box.
+    b = f["boxes"][0].astype(int)
+    inner = f["image"][b[1] + 2 : b[3] - 2, b[0] + 2 : b[2] - 2]
+    assert inner.std() < 1.0  # constant-colored rectangle interior
+
+
+def test_rotate90_box_consistency():
+    ds = SyntheticDataset(n=1)
+    s = ds[0]
+    r = transforms.rotate90(s, 1)
+    assert r["image"].shape[:2] == (s["image"].shape[1], s["image"].shape[0])
+    b = r["boxes"][0].astype(int)
+    inner = r["image"][b[1] + 2 : b[3] - 2, b[0] + 2 : b[2] - 2]
+    assert inner.std() < 1.0
+
+
+def test_resize_shortest_edge_caps_max():
+    s = {"image": np.zeros((100, 300, 3), np.uint8), "boxes": np.zeros((0, 4), np.float32)}
+    out, scale = transforms.resize_shortest_edge(s, 80, 200)
+    h, w = out["image"].shape[:2]
+    assert max(h, w) <= 200
+    assert abs(w - 200) <= 1
+
+
+def test_mini_masks_roundtrip_quality():
+    ds = SyntheticDataset(n=1)
+    s = ds[0]
+    mm = transforms.make_mini_masks(s["masks"], s["boxes"], 28)
+    assert mm.shape == (len(s["boxes"]), 28, 28)
+    assert mm.mean() > 0.8  # box-aligned rectangles fill their mini-masks
+
+
+def test_pick_bucket():
+    buckets = ((64, 128), (128, 64), (128, 128))
+    assert pick_bucket(60, 100, buckets) == (64, 128)
+    assert pick_bucket(100, 60, buckets) == (128, 64)
+    assert pick_bucket(100, 100, buckets) == (128, 128)
+    assert pick_bucket(500, 500, buckets) == (128, 128)  # fallback largest
+
+
+def test_dataloader_shapes_and_masks():
+    cfg = small_cfg()
+    ds = SyntheticDataset()
+    it = build_dataloader(cfg, ds, training=True, seed=0)
+    batch = next(it)
+    assert batch["image"].shape[0] == 2
+    assert batch["image"].shape[1:] in ((64, 128, 3), (128, 64, 3))
+    assert batch["gt_boxes"].shape == (2, 8, 4)
+    assert batch["gt_masks"].shape == (2, 8, 28, 28)
+    assert batch["gt_valid"].any()
+    # boxes of valid GT are inside the resized image
+    for i in range(2):
+        v = batch["gt_valid"][i]
+        h, w = batch["image_size"][i]
+        assert batch["gt_boxes"][i][v][:, 2].max() <= w + 1e-3
+        assert batch["gt_boxes"][i][v][:, 3].max() <= h + 1e-3
+
+
+def test_dataloader_eval_covers_all_images_once():
+    cfg = small_cfg()
+    ds = SyntheticDataset()
+    seen = []
+    for batch in build_dataloader(cfg, ds, training=False, seed=0):
+        for iid in batch["image_id"]:
+            if iid >= 0:
+                seen.append(int(iid))
+    assert sorted(set(seen)) == list(range(len(ds)))
+
+
+def test_coco_polygon_and_rle_decoding():
+    # square polygon
+    seg = [[2.0, 2.0, 10.0, 2.0, 10.0, 10.0, 2.0, 10.0]]
+    m = segmentation_to_mask(seg, 12, 12)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert 60 <= m.sum() <= 90
+    # uncompressed RLE: column-major runs
+    rle = {"counts": [3, 2, 139], "size": [12, 12]}
+    m2 = segmentation_to_mask(rle, 12, 12)
+    assert m2.sum() == 2
+    assert m2[3, 0] == 1 and m2[4, 0] == 1  # rows 3,4 of column 0

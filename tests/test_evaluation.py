@@ -1,0 +1,136 @@
+import numpy as np
+
+from detectron2_tensorflow_tpu.evaluation import (
+    CocoEvaluator,
+    SemSegEvaluator,
+    paste_masks,
+)
+
+
+def _img_gt(boxes, classes, crowd=None):
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    return {
+        "boxes": boxes,
+        "classes": np.asarray(classes),
+        "is_crowd": np.asarray(crowd if crowd is not None else [False] * len(boxes)),
+    }
+
+
+def _det(boxes, scores, classes):
+    return {
+        "boxes": np.asarray(boxes, np.float64).reshape(-1, 4),
+        "scores": np.asarray(scores, np.float64),
+        "classes": np.asarray(classes),
+    }
+
+
+def test_perfect_detections_give_ap_100():
+    ev = CocoEvaluator(num_classes=3, iou_type="bbox")
+    for _ in range(4):
+        gt = _img_gt([[10, 10, 50, 50], [60, 60, 90, 95]], [0, 2])
+        det = _det([[10, 10, 50, 50], [60, 60, 90, 95]], [0.9, 0.8], [0, 2])
+        ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert abs(m["AP"] - 100.0) < 1e-6, m
+    assert abs(m["AP50"] - 100.0) < 1e-6
+    assert abs(m["AR@100"] - 100.0) < 1e-6
+
+
+def test_missed_half_gives_half_recall():
+    ev = CocoEvaluator(num_classes=1, iou_type="bbox")
+    gt = _img_gt([[10, 10, 50, 50], [100, 100, 150, 150]], [0, 0])
+    det = _det([[10, 10, 50, 50]], [0.9], [0])  # one of two found
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert abs(m["AR@100"] - 50.0) < 1e-6
+    # AP = mean precision over recall grid; precision 1.0 up to recall 0.5
+    assert 45.0 < m["AP"] < 55.0
+
+
+def test_false_positive_lowers_ap50():
+    ev = CocoEvaluator(num_classes=1, iou_type="bbox")
+    gt = _img_gt([[10, 10, 50, 50]], [0])
+    # High-scoring FP ahead of the TP.
+    det = _det([[200, 200, 240, 240], [10, 10, 50, 50]], [0.95, 0.9], [0, 0])
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert m["AP50"] < 60.0
+
+
+def test_crowd_gt_is_ignored_not_counted():
+    ev = CocoEvaluator(num_classes=1, iou_type="bbox")
+    gt = _img_gt([[10, 10, 50, 50], [60, 60, 200, 200]], [0, 0], crowd=[False, True])
+    # Detection matching the crowd region only: should be IGNORED, not FP.
+    det = _det(
+        [[10, 10, 50, 50], [70, 70, 190, 190]], [0.9, 0.85], [0, 0]
+    )
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert abs(m["AP"] - 100.0) < 1e-6, m  # crowd neither GT nor FP
+
+
+def test_iou_threshold_sweep():
+    ev = CocoEvaluator(num_classes=1, iou_type="bbox")
+    gt = _img_gt([[0, 0, 100, 100]], [0])
+    # ~0.75 IoU detection: TP at t<=0.7, FP at t>=0.8 (IoU = 75/100... make it exact)
+    det = _det([[0, 0, 100, 75]], [0.9], [0])  # IoU = 0.75
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert abs(m["AP50"] - 100.0) < 1e-6
+    assert abs(m["AP75"] - 100.0) < 1e-6  # 0.75 >= 0.75 threshold... boundary
+    # mean over thresholds: TP for t in {.5,...,.75} = 6/10 of thresholds
+    assert abs(m["AP"] - 60.0) < 1e-5
+
+
+def test_segm_evaluator_with_pasted_masks():
+    ev = CocoEvaluator(num_classes=1, iou_type="segm")
+    gt_mask = np.zeros((64, 64), bool)
+    gt_mask[16:48, 16:48] = True
+    gt = {
+        "boxes": np.array([[16.0, 16.0, 48.0, 48.0]]),
+        "classes": np.array([0]),
+        "is_crowd": np.array([False]),
+        "masks": gt_mask[None],
+    }
+    soft = np.ones((1, 28, 28), np.float32)
+    det_masks = paste_masks(soft, np.array([[16.0, 16.0, 48.0, 48.0]]), 64, 64)
+    det = {
+        "boxes": np.array([[16.0, 16.0, 48.0, 48.0]]),
+        "scores": np.array([0.9]),
+        "classes": np.array([0]),
+        "masks": det_masks,
+    }
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert m["AP"] > 90.0, m
+
+
+def test_sem_seg_eval():
+    ev = SemSegEvaluator(num_classes=3, ignore_label=-1)
+    gt = np.array([[0, 0, 1], [1, 2, -1]])
+    pred = np.array([[0, 1, 1], [1, 2, 2]])
+    ev.add_image(gt, pred)
+    m = ev.evaluate()
+    # class0: tp1 union2 -> 0.5; class1: tp2 union3; class2: tp1 union1
+    want_miou = 100 * np.mean([0.5, 2 / 3, 1.0])
+    assert abs(m["mIoU"] - want_miou) < 1e-6
+    assert abs(m["pACC"] - 100 * 4 / 5) < 1e-6
+
+
+def test_paste_masks_np_matches_device_version():
+    import jax.numpy as jnp
+
+    from detectron2_tensorflow_tpu.structures import paste_masks_in_image
+
+    rng = np.random.default_rng(0)
+    soft = rng.uniform(0, 1, (3, 28, 28)).astype(np.float32)
+    boxes = np.array(
+        [[5.2, 7.9, 40.7, 50.1], [0.0, 0.0, 64.0, 64.0], [30.0, 30.0, 33.0, 35.0]],
+        np.float32,
+    )
+    np_out = paste_masks(soft, boxes, 64, 64)
+    dev_out = np.asarray(
+        paste_masks_in_image(jnp.asarray(soft), jnp.asarray(boxes), (64, 64))
+    )
+    agree = (np_out == dev_out).mean()
+    assert agree > 0.995, agree  # border rounding may differ on rare pixels
