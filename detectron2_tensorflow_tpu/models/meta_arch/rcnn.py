@@ -1,41 +1,55 @@
-"""GeneralizedRCNN: backbone -> neck -> RPN -> ROI heads (+ProposalNetwork).
+"""GeneralizedRCNN family: Faster/Mask R-CNN (FPN, C4/DC5, Cascade),
+ProposalNetwork, SemanticSegmentor, PanopticFPN.
 
-Parity target: /root/reference/lib/modeling/meta_arch/rcnn.py:16-225. The
-flax module owns only parameterized pieces (trunk, RPN head, box/mask heads)
-as setup() submodules exposed through named apply-methods; proposal
-selection, sampling, losses and NMS are pure drivers — so the whole training
-step is one jit with explicit rng threading (the reference's global
-training-phase flag and per-clone graph replication both disappear).
+Parity targets: /root/reference/lib/modeling/meta_arch/rcnn.py:16-225,
+semantic_seg.py:25-221, panoptic_fpn.py:16-296 and the ROI-heads variants
+(roi_heads.py:261-605, cascade_rcnn.py:14-273). One flax module owns every
+parameterized piece behind named apply-methods; pure drivers (RPN, ROI
+heads, fusion) orchestrate. All control flow is static: ROI-head topology is
+selected at build time, per-image work is vmap, rng is threaded explicitly.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ...structures import Instances
-from ..backbones.resnet import build_resnet_backbone
+from ..backbones.resnet import ResNetStage, build_resnet_backbone
 from ..necks.fpn import build_neck
+from ..roi_heads.cascade import CascadeROIHeads, scale_gradient
 from ..roi_heads.fast_rcnn import FastRCNNOutputLayers
 from ..roi_heads.heads import FastRCNNConvFCHead, MaskRCNNConvUpsampleHead
 from ..roi_heads.roi_heads import StandardROIHeads
 from ..rpn import RPN, add_ground_truth_to_proposals
+from ..sem_seg import (
+    build_sem_seg_head,
+    combine_semantic_and_instance_outputs,
+    sem_seg_loss,
+)
 from .build import META_ARCH_REGISTRY
 from .common import DetectorModel, preprocess_images
 
 
 class GeneralizedRCNNModule(nn.Module):
-    """Parameter container; drivers orchestrate its apply-methods."""
+    """Parameter container for every R-CNN topology.
+
+    * FPN Standard heads: box_heads=(head,), box_predictors=(pred,)
+    * C4 (Res5ROIHeads):  box_heads=(), res5 set; predictor on pooled mean
+    * Cascade:            3 box_heads + 3 box_predictors
+    """
 
     backbone: nn.Module
     neck: nn.Module
-    rpn_head: nn.Module
-    box_head: nn.Module
-    box_predictor: nn.Module
+    rpn_head: Optional[nn.Module] = None
+    box_heads: Tuple[nn.Module, ...] = ()
+    box_predictors: Tuple[nn.Module, ...] = ()
+    res5: Optional[nn.Module] = None
     mask_head: Optional[nn.Module] = None
+    sem_seg_head: Optional[nn.Module] = None
 
     def compute_features(self, images, train: bool = False):
         return self.neck(self.backbone(images, train=train), train=train)
@@ -43,76 +57,388 @@ class GeneralizedRCNNModule(nn.Module):
     def rpn(self, feature_list, train: bool = False):
         return self.rpn_head(feature_list, train=train)
 
-    def box(self, pooled, train: bool = False):
-        return self.box_predictor(self.box_head(pooled, train=train), train=train)
+    def box(self, pooled, stage: int = 0, train: bool = False):
+        """Returns (class_logits, deltas, roi_features_or_None)."""
+        if self.res5 is not None:
+            feats = self.res5(pooled, train=train)
+            vec = feats.mean(axis=(1, 2))
+            scores, deltas = self.box_predictors[0](vec, train=train)
+            return scores, deltas, feats
+        x = self.box_heads[stage](pooled, train=train)
+        scores, deltas = self.box_predictors[stage](x, train=train)
+        return scores, deltas, None
 
     def mask(self, pooled, train: bool = False):
         assert self.mask_head is not None
         return self.mask_head(pooled, train=train)
 
+    def sem_seg(self, features, train: bool = False):
+        assert self.sem_seg_head is not None
+        return self.sem_seg_head(features, train=train)
+
     def __call__(self, images, box_pooled, mask_pooled=None, train: bool = False):
         """Init-only path touching every submodule once."""
         features = self.compute_features(images, train=train)
-        first = next(iter(features.values()))
-        rpn_out = self.rpn([first], train=train)
-        box_out = self.box(box_pooled, train=train)
-        mask_out = None
-        if self.mask_head is not None and mask_pooled is not None:
-            mask_out = self.mask(mask_pooled, train=train)
-        return features, rpn_out, box_out, mask_out
+        outs = [features]
+        if self.rpn_head is not None:
+            first = next(iter(features.values()))
+            outs.append(self.rpn([first], train=train))
+        if self.res5 is not None:
+            outs.append(self.box(box_pooled, train=train))
+            if self.mask_head is not None:
+                res5_out = outs[-1][2]
+                outs.append(self.mask(res5_out, train=train))
+        else:
+            for stage in range(len(self.box_heads)):
+                outs.append(self.box(box_pooled, stage=stage, train=train))
+            if self.mask_head is not None and mask_pooled is not None:
+                outs.append(self.mask(mask_pooled, train=train))
+        if self.sem_seg_head is not None:
+            outs.append(self.sem_seg(features, train=train))
+        return outs
 
 
-def _build_rcnn_parts(cfg):
+def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
     dtype = jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32
     backbone, bb_shapes = build_resnet_backbone(cfg, dtype=dtype)
     neck, neck_shapes = build_neck(cfg, bb_shapes, dtype=dtype)
 
-    rpn_driver = RPN(cfg, neck_shapes)
-    rpn_head = rpn_driver.head_module(dtype)
+    rpn_driver = rpn_head = None
+    if with_rpn:
+        rpn_driver = RPN(cfg, neck_shapes)
+        rpn_head = rpn_driver.head_module(dtype)
 
-    roi_name = cfg.MODEL.ROI_HEADS.NAME
-    if roi_name != "StandardROIHeads":
-        raise NotImplementedError(f"ROI heads '{roi_name}' not yet built")
-    roi_driver = StandardROIHeads(cfg, neck_shapes)
-
-    bh = cfg.MODEL.ROI_BOX_HEAD
-    box_head = FastRCNNConvFCHead(
-        num_conv=bh.NUM_CONV, conv_dim=bh.CONV_DIM,
-        num_fc=bh.NUM_FC, fc_dim=bh.FC_DIM, norm=bh.NORM,
-        dtype=dtype, name="box_head",
-    )
-    box_predictor = FastRCNNOutputLayers(
-        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
-        cls_agnostic_bbox_reg=bh.CLS_AGNOSTIC_BBOX_REG,
-        dtype=dtype, name="box_predictor",
-    )
+    roi_driver = None
+    box_heads: Tuple = ()
+    box_predictors: Tuple = ()
+    res5 = None
     mask_head = None
-    if cfg.MODEL.MASK_ON:
-        mh = cfg.MODEL.ROI_MASK_HEAD
-        mask_head = MaskRCNNConvUpsampleHead(
-            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
-            num_conv=mh.NUM_CONV, conv_dim=mh.CONV_DIM, norm=mh.NORM,
-            cls_agnostic=mh.CLS_AGNOSTIC_MASK, dtype=dtype, name="mask_head",
-        )
+    num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    if with_roi:
+        roi_name = cfg.MODEL.ROI_HEADS.NAME
+        bh = cfg.MODEL.ROI_BOX_HEAD
+        if roi_name == "StandardROIHeads":
+            roi_driver = StandardROIHeads(cfg, neck_shapes)
+            box_heads = (
+                FastRCNNConvFCHead(
+                    num_conv=bh.NUM_CONV, conv_dim=bh.CONV_DIM,
+                    num_fc=bh.NUM_FC, fc_dim=bh.FC_DIM, norm=bh.NORM,
+                    dtype=dtype, name="box_head",
+                ),
+            )
+            box_predictors = (
+                FastRCNNOutputLayers(
+                    num_classes=num_classes,
+                    cls_agnostic_bbox_reg=bh.CLS_AGNOSTIC_BBOX_REG,
+                    dtype=dtype, name="box_predictor",
+                ),
+            )
+        elif roi_name == "Res5ROIHeads":
+            roi_driver = StandardROIHeads(cfg, neck_shapes)
+            r = cfg.MODEL.RESNETS
+            from ..backbones.resnet import BLOCKS_PER_STAGE
+
+            res5 = ResNetStage(
+                num_blocks=BLOCKS_PER_STAGE[r.DEPTH][3],
+                out_channels=r.RES2_OUT_CHANNELS * 8,
+                bottleneck_channels=r.NUM_GROUPS * r.WIDTH_PER_GROUP * 8,
+                first_stride=2,
+                num_groups=r.NUM_GROUPS,
+                stride_in_1x1=r.STRIDE_IN_1X1,
+                norm=r.NORM,
+                dtype=dtype,
+                name="res5",
+            )
+            box_predictors = (
+                FastRCNNOutputLayers(
+                    num_classes=num_classes,
+                    cls_agnostic_bbox_reg=bh.CLS_AGNOSTIC_BBOX_REG,
+                    dtype=dtype, name="box_predictor",
+                ),
+            )
+        elif roi_name == "CascadeROIHeads":
+            roi_driver = CascadeROIHeads(cfg, neck_shapes)
+            box_heads = tuple(
+                FastRCNNConvFCHead(
+                    num_conv=bh.NUM_CONV, conv_dim=bh.CONV_DIM,
+                    num_fc=bh.NUM_FC, fc_dim=bh.FC_DIM, norm=bh.NORM,
+                    dtype=dtype, name=f"box_head_{k}",
+                )
+                for k in range(roi_driver.num_stages)
+            )
+            box_predictors = tuple(
+                FastRCNNOutputLayers(
+                    num_classes=num_classes,
+                    cls_agnostic_bbox_reg=True,
+                    dtype=dtype, name=f"box_predictor_{k}",
+                )
+                for k in range(roi_driver.num_stages)
+            )
+        else:
+            raise NotImplementedError(f"ROI heads '{roi_name}'")
+
+        if cfg.MODEL.MASK_ON:
+            mh = cfg.MODEL.ROI_MASK_HEAD
+            mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=num_classes,
+                num_conv=mh.NUM_CONV, conv_dim=mh.CONV_DIM, norm=mh.NORM,
+                cls_agnostic=mh.CLS_AGNOSTIC_MASK, dtype=dtype, name="mask_head",
+            )
+
+    sem_seg_head = None
+    if with_sem_seg:
+        sem_seg_head = build_sem_seg_head(cfg, neck_shapes, dtype=dtype)
+
     module = GeneralizedRCNNModule(
         backbone=backbone, neck=neck, rpn_head=rpn_head,
-        box_head=box_head, box_predictor=box_predictor, mask_head=mask_head,
+        box_heads=box_heads, box_predictors=box_predictors, res5=res5,
+        mask_head=mask_head, sem_seg_head=sem_seg_head,
     )
     return module, rpn_driver, roi_driver, neck_shapes, dtype
 
 
+class _RCNNDrivers:
+    """Shared loss/predict orchestration for the R-CNN meta-arch family."""
+
+    def __init__(self, cfg, module, rpn_driver, roi_driver, neck_shapes, dtype,
+                 with_sem_seg=False):
+        self.cfg = cfg
+        self.module = module
+        self.rpn = rpn_driver
+        self.roi = roi_driver
+        self.dtype = dtype
+        self.pixel_mean = list(cfg.MODEL.PIXEL_MEAN)
+        self.pixel_std = list(cfg.MODEL.PIXEL_STD)
+        self.input_format = cfg.MODEL.INPUT_FORMAT
+        self.mask_on = cfg.MODEL.MASK_ON and module.mask_head is not None
+        self.is_res5 = module.res5 is not None
+        self.is_cascade = isinstance(roi_driver, CascadeROIHeads)
+        self.num_stages = roi_driver.num_stages if self.is_cascade else 1
+        self.with_sem_seg = with_sem_seg
+        self.sem_seg_ignore = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE
+        self.sem_seg_loss_weight = cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT
+        self.instance_loss_weight = cfg.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT
+        self.neck_shapes = neck_shapes
+
+    def prep(self, batch):
+        return preprocess_images(
+            batch["image"], self.pixel_mean, self.pixel_std, self.input_format,
+            self.dtype,
+        )
+
+    # -- module call helpers ---------------------------------------------------
+    def features_and_rpn(self, variables, batch, train):
+        images = self.prep(batch)
+        features = self.module.apply(
+            variables, images, train=train, method="compute_features"
+        )
+        rpn_feats = [features[f] for f in self.rpn.in_features]
+        logits, deltas = self.module.apply(
+            variables, rpn_feats, train=train, method="rpn"
+        )
+        return (
+            features,
+            [l.astype(jnp.float32) for l in logits],
+            [d.astype(jnp.float32) for d in deltas],
+        )
+
+    def run_box(self, variables, features, boxes, stage, train, grad_scale=1.0):
+        pooled = self.roi.pool_box_features(features, boxes)
+        if grad_scale != 1.0:
+            pooled = scale_gradient(pooled, grad_scale)
+        scores, deltas, roi_feats = self.module.apply(
+            variables, pooled, stage=stage, train=train, method="box"
+        )
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32), roi_feats
+
+    # -- losses ------------------------------------------------------------------
+    def loss_fn(self, variables, batch, rng, state):
+        rng_rpn, rng_roi = jax.random.split(rng)
+        features, logits, deltas = self.features_and_rpn(variables, batch, True)
+        image_sizes = batch["image_size"]
+
+        losses = self.rpn.losses(rng_rpn, logits, deltas, batch, image_sizes)
+
+        proposals = self.rpn.proposals(logits, deltas, image_sizes, training=True)
+        proposals = jax.tree.map(jax.lax.stop_gradient, proposals)
+        if self.roi.proposal_append_gt:
+            proposals = add_ground_truth_to_proposals(proposals, batch)
+        sampled = self.roi.label_and_sample_proposals(rng_roi, proposals, batch)
+
+        inst_losses = {}
+        roi_feats = None
+        if self.is_cascade:
+            boxes = sampled.boxes
+            gt_classes, gt_boxes = sampled.gt_classes, sampled.gt_boxes
+            valid = sampled.valid
+            b, s = gt_classes.shape
+            for k in range(self.num_stages):
+                scores, ds, _ = self.run_box(
+                    variables, features, boxes, k, True,
+                    grad_scale=1.0 / self.num_stages,
+                )
+                inst_losses.update(
+                    self.roi.stage_losses(
+                        k, scores, ds, boxes, gt_classes, gt_boxes, valid
+                    )
+                )
+                if k + 1 < self.num_stages:
+                    boxes = self.roi.refine_boxes(k, ds, boxes, image_sizes)
+                    gt_classes, gt_boxes, _ = self.roi._rematch(k + 1, boxes, batch)
+                    valid = sampled.valid  # refined boxes keep slot validity
+        else:
+            scores, ds, roi_feats = self.run_box(
+                variables, features, sampled.boxes, 0, True
+            )
+            inst_losses.update(self.roi.box_losses(scores, ds, sampled))
+
+        if self.mask_on:
+            m = self.roi.mask_slots
+            if self.is_res5:
+                # C4: reuse the res5 features of the leading (fg) slots.
+                b, s = sampled.gt_classes.shape
+                rf = roi_feats.reshape((b, s) + roi_feats.shape[1:])[:, :m]
+                mask_in = rf.reshape((-1,) + rf.shape[2:])
+            else:
+                mask_in = self.roi.pool_mask_features(
+                    features, sampled.boxes[:, :m]
+                )
+            mask_logits = self.module.apply(
+                variables, mask_in, train=True, method="mask"
+            )
+            inst_losses["loss_mask"] = self.roi.mask_loss(
+                mask_logits.astype(jnp.float32), sampled, batch
+            )
+
+        if self.with_sem_seg:
+            for k, v in inst_losses.items():
+                inst_losses[k] = v * self.instance_loss_weight
+            sem_logits = self.module.apply(
+                variables, features, train=True, method="sem_seg"
+            ).astype(jnp.float32)
+            losses["loss_sem_seg"] = sem_seg_loss(
+                sem_logits, batch["gt_sem_seg"], self.sem_seg_ignore,
+                self.sem_seg_loss_weight,
+            )
+        losses.update(inst_losses)
+        total = sum(losses.values())
+        return total, (losses, state)
+
+    # -- inference ------------------------------------------------------------------
+    def predict_fn(self, variables, batch):
+        features, logits, deltas = self.features_and_rpn(variables, batch, False)
+        image_sizes = batch["image_size"]
+        proposals = self.rpn.proposals(logits, deltas, image_sizes, training=False)
+
+        if self.is_cascade:
+            boxes = proposals.proposal_boxes
+            stage_scores = []
+            ds = None
+            for k in range(self.num_stages):
+                scores, ds, _ = self.run_box(variables, features, boxes, k, False)
+                stage_scores.append(scores)
+                if k + 1 < self.num_stages:
+                    boxes = self.roi.refine_boxes(k, ds, boxes, image_sizes)
+            detections = self.roi.cascade_inference(
+                stage_scores, ds, boxes, proposals.is_valid, image_sizes
+            )
+        else:
+            scores, ds, _ = self.run_box(
+                variables, features, proposals.proposal_boxes, 0, False
+            )
+            detections = self.roi.box_inference(scores, ds, proposals, image_sizes)
+
+        if self.mask_on:
+            if self.is_res5:
+                pooled = self.roi.pool_box_features(features, detections.boxes)
+                _, _, rf = self.module.apply(
+                    variables, pooled, stage=0, train=False, method="box"
+                )
+                mask_in = rf
+            else:
+                mask_in = self.roi.pool_mask_features(features, detections.boxes)
+            mask_logits = self.module.apply(
+                variables, mask_in, train=False, method="mask"
+            )
+            detections = self.roi.mask_inference(
+                mask_logits.astype(jnp.float32), detections
+            )
+
+        if self.with_sem_seg:
+            sem_logits = self.module.apply(
+                variables, features, train=False, method="sem_seg"
+            ).astype(jnp.float32)
+            detections = detections.replace(
+                sem_seg=jnp.argmax(sem_logits, axis=-1)
+            )
+        return detections
+
+
+def _make_model(cfg, with_sem_seg=False) -> DetectorModel:
+    module, rpn_driver, roi_driver, neck_shapes, dtype = _build_rcnn_parts(
+        cfg, with_sem_seg=with_sem_seg
+    )
+    drv = _RCNNDrivers(
+        cfg, module, rpn_driver, roi_driver, neck_shapes, dtype, with_sem_seg
+    )
+    box_res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
+    mask_res = cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION
+    channels = (
+        cfg.MODEL.NECK.OUT_CHANNELS
+        if cfg.MODEL.NECK.NAME
+        else next(iter(neck_shapes.values())).channels
+    )
+
+    def init_fn(rng, batch):
+        dummy_box = jnp.zeros((1, box_res, box_res, channels), dtype)
+        dummy_mask = (
+            jnp.zeros((1, mask_res, mask_res, channels), dtype)
+            if (cfg.MODEL.MASK_ON and module.res5 is None)
+            else None
+        )
+        return module.init(rng, drv.prep(batch), dummy_box, dummy_mask, train=False)
+
+    return DetectorModel(module, init_fn, drv.loss_fn, drv.predict_fn)
+
+
 @META_ARCH_REGISTRY.register(name="GeneralizedRCNN")
 def build_generalized_rcnn(cfg) -> DetectorModel:
-    module, rpn_driver, roi_driver, neck_shapes, dtype = _build_rcnn_parts(cfg)
+    return _make_model(cfg, with_sem_seg=False)
+
+
+@META_ARCH_REGISTRY.register(name="PanopticFPN")
+def build_panoptic_fpn(cfg) -> DetectorModel:
+    """GeneralizedRCNN + SemSegFPNHead; fusion available via
+    :func:`panoptic_fusion` on the prediction outputs."""
+    return _make_model(cfg, with_sem_seg=True)
+
+
+def panoptic_fusion(cfg, detections: Instances):
+    """Batched panoptic fusion over predict() outputs (needs pred_masks and
+    sem_seg fields)."""
+    comb = cfg.MODEL.PANOPTIC_FPN.COMBINE
+
+    def one(det: Instances):
+        return combine_semantic_and_instance_outputs(
+            det,
+            det.sem_seg,
+            comb.OVERLAP_THRESH,
+            comb.STUFF_AREA_LIMIT,
+            comb.INSTANCES_CONFIDENCE_THRESH,
+            cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        )
+
+    return jax.vmap(one)(detections)
+
+
+@META_ARCH_REGISTRY.register(name="SemanticSegmentor")
+def build_semantic_segmentor(cfg) -> DetectorModel:
+    module, _, _, neck_shapes, dtype = _build_rcnn_parts(
+        cfg, with_rpn=False, with_roi=False, with_sem_seg=True
+    )
     pixel_mean = list(cfg.MODEL.PIXEL_MEAN)
     pixel_std = list(cfg.MODEL.PIXEL_STD)
     input_format = cfg.MODEL.INPUT_FORMAT
-    mask_on = cfg.MODEL.MASK_ON
-    box_res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
-    mask_res = cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION
-    channels = cfg.MODEL.NECK.OUT_CHANNELS if cfg.MODEL.NECK.NAME else next(
-        iter(neck_shapes.values())
-    ).channels
 
     def prep(batch):
         return preprocess_images(
@@ -120,93 +446,33 @@ def build_generalized_rcnn(cfg) -> DetectorModel:
         )
 
     def init_fn(rng, batch):
-        dummy_box = jnp.zeros((1, box_res, box_res, channels), dtype)
-        dummy_mask = (
-            jnp.zeros((1, mask_res, mask_res, channels), dtype) if mask_on else None
-        )
-        return module.init(rng, prep(batch), dummy_box, dummy_mask, train=False)
-
-    def _rpn_stage(variables, batch, train):
-        images = prep(batch)
-        features = module.apply(
-            variables, images, train=train, method="compute_features"
-        )
-        rpn_feats = [features[f] for f in rpn_driver.in_features]
-        logits, deltas = module.apply(
-            variables, rpn_feats, train=train, method="rpn"
-        )
-        logits = [l.astype(jnp.float32) for l in logits]
-        deltas = [d.astype(jnp.float32) for d in deltas]
-        return features, logits, deltas
+        return module.init(rng, prep(batch), None, None, train=False)
 
     def loss_fn(variables, batch, rng, state):
-        rng_rpn, rng_roi = jax.random.split(rng)
-        features, logits, deltas = _rpn_stage(variables, batch, train=True)
-        image_sizes = batch["image_size"]
-
-        losses = rpn_driver.losses(rng_rpn, logits, deltas, batch, image_sizes)
-
-        proposals = rpn_driver.proposals(logits, deltas, image_sizes, training=True)
-        # Proposal coordinates are training constants (D2 semantics).
-        proposals = jax.tree.map(jax.lax.stop_gradient, proposals)
-        proposals = add_ground_truth_to_proposals(proposals, batch)
-        sampled = roi_driver.label_and_sample_proposals(rng_roi, proposals, batch)
-
-        pooled = roi_driver.pool_box_features(features, sampled.boxes)
-        class_logits, box_deltas = module.apply(
-            variables, pooled, train=True, method="box"
+        features = module.apply(
+            variables, prep(batch), train=True, method="compute_features"
         )
-        losses.update(
-            roi_driver.box_losses(
-                class_logits.astype(jnp.float32),
-                box_deltas.astype(jnp.float32),
-                sampled,
-            )
+        sem_logits = module.apply(
+            variables, features, train=True, method="sem_seg"
+        ).astype(jnp.float32)
+        loss = sem_seg_loss(
+            sem_logits, batch["gt_sem_seg"], cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+            cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT,
         )
-
-        if mask_on:
-            m = roi_driver.mask_slots
-            mask_pooled = roi_driver.pool_mask_features(
-                features, sampled.boxes[:, :m]
-            )
-            mask_logits = module.apply(
-                variables, mask_pooled, train=True, method="mask"
-            )
-            losses["loss_mask"] = roi_driver.mask_loss(
-                mask_logits.astype(jnp.float32), sampled, batch
-            )
-
-        total = sum(losses.values())
-        return total, (losses, state)
+        return loss, ({"loss_sem_seg": loss}, state)
 
     def predict_fn(variables, batch):
-        features, logits, deltas = _rpn_stage(variables, batch, train=False)
-        image_sizes = batch["image_size"]
-        proposals = rpn_driver.proposals(logits, deltas, image_sizes, training=False)
-
-        pooled = roi_driver.pool_box_features(
-            features, proposals.proposal_boxes
+        features = module.apply(
+            variables, prep(batch), train=False, method="compute_features"
         )
-        class_logits, box_deltas = module.apply(
-            variables, pooled, train=False, method="box"
+        sem_logits = module.apply(
+            variables, features, train=False, method="sem_seg"
+        ).astype(jnp.float32)
+        return Instances(
+            sem_seg=jnp.argmax(sem_logits, axis=-1),
+            sem_seg_logits=sem_logits,
+            is_valid=jnp.ones((sem_logits.shape[0], 1), bool),
         )
-        detections = roi_driver.box_inference(
-            class_logits.astype(jnp.float32),
-            box_deltas.astype(jnp.float32),
-            proposals,
-            image_sizes,
-        )
-        if mask_on:
-            mask_pooled = roi_driver.pool_mask_features(
-                features, detections.boxes
-            )
-            mask_logits = module.apply(
-                variables, mask_pooled, train=False, method="mask"
-            )
-            detections = roi_driver.mask_inference(
-                mask_logits.astype(jnp.float32), detections
-            )
-        return detections
 
     return DetectorModel(module, init_fn, loss_fn, predict_fn)
 
@@ -214,7 +480,9 @@ def build_generalized_rcnn(cfg) -> DetectorModel:
 @META_ARCH_REGISTRY.register(name="ProposalNetwork")
 def build_proposal_network(cfg) -> DetectorModel:
     """RPN-only meta-arch (proposal evaluation); reference rcnn.py:160-225."""
-    module, rpn_driver, _, neck_shapes, dtype = _build_rcnn_parts(cfg)
+    module, rpn_driver, _, neck_shapes, dtype = _build_rcnn_parts(
+        cfg, with_roi=False
+    )
     pixel_mean = list(cfg.MODEL.PIXEL_MEAN)
     pixel_std = list(cfg.MODEL.PIXEL_STD)
     input_format = cfg.MODEL.INPUT_FORMAT
@@ -225,19 +493,13 @@ def build_proposal_network(cfg) -> DetectorModel:
         )
 
     def init_fn(rng, batch):
-        res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
-        ch = cfg.MODEL.NECK.OUT_CHANNELS if cfg.MODEL.NECK.NAME else next(
-            iter(neck_shapes.values())
-        ).channels
-        return module.init(
-            rng, prep(batch), jnp.zeros((1, res, res, ch), dtype), None, train=False
-        )
+        return module.init(rng, prep(batch), None, None, train=False)
 
     def _stage(variables, batch, train):
         features = module.apply(
             variables, prep(batch), train=train, method="compute_features"
         )
-        rpn_feats = [features[f].astype(jnp.float32) for f in rpn_driver.in_features]
+        rpn_feats = [features[f] for f in rpn_driver.in_features]
         logits, deltas = module.apply(variables, rpn_feats, train=train, method="rpn")
         return (
             [l.astype(jnp.float32) for l in logits],

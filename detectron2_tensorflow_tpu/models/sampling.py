@@ -18,10 +18,15 @@ import jax.numpy as jnp
 
 def _sample_topk(key, eligible: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pick up to k of the eligible items uniformly. Returns (indices [k],
-    picked_valid [k]); when fewer than k eligible, the tail is invalid."""
+    picked_valid [k]); when fewer than k eligible, the tail is invalid.
+    If the pool itself is smaller than k, the output is zero-padded."""
     noise = jax.random.uniform(key, eligible.shape)
     score = jnp.where(eligible, noise, -1.0)
-    vals, idx = jax.lax.top_k(score, k)
+    kk = min(k, eligible.shape[0])
+    vals, idx = jax.lax.top_k(score, kk)
+    if kk < k:
+        idx = jnp.pad(idx, (0, k - kk))
+        vals = jnp.pad(vals, (0, k - kk), constant_values=-1.0)
     return idx, vals >= 0.0
 
 
