@@ -1,0 +1,34 @@
+"""Config finalization: derived keys + freeze.
+
+Equivalent of the reference's config_utils.finalize (/root/reference/lib/
+utils/config_utils.py:7-21) minus the process-global training flag (training
+mode is explicit per call in this framework). Derives device counts and
+class counts (from category_map.json when present), then freezes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def finalize(cfg, training: bool = True):
+    import jax
+
+    num_devices = max(jax.device_count(), 1)
+    if not cfg.is_frozen():
+        cfg.SOLVER.NUM_GPUS = num_devices  # reference name; means devices here
+        cfg.SOLVER.IMS_PER_BATCH = cfg.SOLVER.IMS_PER_GPU * num_devices
+
+        cat_map = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.CATEGORY_MAP_NAME)
+        if os.path.isfile(cat_map):
+            with open(cat_map) as f:
+                cats = json.load(f)
+            if "thing_classes" in cats:
+                n = len(cats["thing_classes"])
+                cfg.MODEL.ROI_HEADS.NUM_CLASSES = n
+                cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES = n
+            if "stuff_classes" in cats:
+                cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = len(cats["stuff_classes"])
+        cfg.freeze()
+    return cfg

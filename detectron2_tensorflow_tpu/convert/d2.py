@@ -58,10 +58,32 @@ class _TreeWriter:
         node[path[-1]] = value
 
     def conv(self, sd, src, dst_path, transpose=True):
-        """Copy a conv (+ optional attached norm) from D2 name ``src``."""
+        """Copy a conv (+ optional attached norm / deform offsets) from D2
+        name ``src``."""
         w = sd.pop(src + ".weight")
         if transpose:
             w = w.transpose(2, 3, 1, 0)
+        if src + "_offset.weight" in sd:
+            # Deformable conv: main kernel is a bare param; offset conv nested;
+            # the trailing norm lives beside the conv as "<name>_norm".
+            self._set(self.params, dst_path + ["kernel"], w)
+            self._set(
+                self.params,
+                dst_path + ["conv_offset", "kernel"],
+                sd.pop(src + "_offset.weight").transpose(2, 3, 1, 0),
+            )
+            self._set(
+                self.params,
+                dst_path + ["conv_offset", "bias"],
+                sd.pop(src + "_offset.bias"),
+            )
+            norm_dst = dst_path[:-1] + [dst_path[-1] + "_norm"]
+            if src + ".norm.running_var" in sd:
+                self._set(self.frozen, norm_dst + ["scale"], sd.pop(src + ".norm.weight"))
+                self._set(self.frozen, norm_dst + ["bias"], sd.pop(src + ".norm.bias"))
+                self._set(self.frozen, norm_dst + ["mean"], sd.pop(src + ".norm.running_mean"))
+                self._set(self.frozen, norm_dst + ["var"], sd.pop(src + ".norm.running_var"))
+            return
         self._set(self.params, dst_path + ["conv", "kernel"], w)
         if src + ".bias" in sd:
             self._set(self.params, dst_path + ["conv", "bias"], sd.pop(src + ".bias"))
@@ -166,13 +188,35 @@ def convert_d2_weights(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
         conv_dim = cfg.MODEL.ROI_BOX_HEAD.CONV_DIM
         in_ch = cfg.MODEL.NECK.OUT_CHANNELS if has_fpn else None
         for i in range(cfg.MODEL.ROI_BOX_HEAD.NUM_CONV):
-            w.conv(sd, f"roi_heads.box_head.conv{i + 1}", ["box_head", f"conv{i + 1}"])
+            w.conv(sd, f"roi_heads.box_head.conv{i + 1}", ["box_heads_0", f"conv{i + 1}"])
         first_fc_ch = conv_dim if cfg.MODEL.ROI_BOX_HEAD.NUM_CONV > 0 else in_ch
-        for i in range(cfg.MODEL.ROI_BOX_HEAD.NUM_FC):
-            pooled = (first_fc_ch, bh_res, bh_res) if i == 0 else None
-            w.fc(sd, f"roi_heads.box_head.fc{i + 1}", ["box_head", f"fc{i + 1}"], pooled)
-        w.fc(sd, "roi_heads.box_predictor.cls_score", ["box_predictor", "cls_score"])
-        w.fc(sd, "roi_heads.box_predictor.bbox_pred", ["box_predictor", "bbox_pred"])
+        if cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads":
+            # D2 cascade: roi_heads.box_head.{k}.fcN / box_predictor.{k}.*
+            num_stages = len(cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS)
+            for k in range(num_stages):
+                for i in range(cfg.MODEL.ROI_BOX_HEAD.NUM_FC):
+                    pooled = (first_fc_ch, bh_res, bh_res) if i == 0 else None
+                    w.fc(
+                        sd, f"roi_heads.box_head.{k}.fc{i + 1}",
+                        [f"box_heads_{k}", f"fc{i + 1}"], pooled,
+                    )
+                w.fc(
+                    sd, f"roi_heads.box_predictor.{k}.cls_score",
+                    [f"box_predictors_{k}", "cls_score"],
+                )
+                w.fc(
+                    sd, f"roi_heads.box_predictor.{k}.bbox_pred",
+                    [f"box_predictors_{k}", "bbox_pred"],
+                )
+        else:
+            for i in range(cfg.MODEL.ROI_BOX_HEAD.NUM_FC):
+                pooled = (first_fc_ch, bh_res, bh_res) if i == 0 else None
+                w.fc(
+                    sd, f"roi_heads.box_head.fc{i + 1}",
+                    ["box_heads_0", f"fc{i + 1}"], pooled,
+                )
+            w.fc(sd, "roi_heads.box_predictor.cls_score", ["box_predictors_0", "cls_score"])
+            w.fc(sd, "roi_heads.box_predictor.bbox_pred", ["box_predictors_0", "bbox_pred"])
         if cfg.MODEL.MASK_ON:
             for i in range(cfg.MODEL.ROI_MASK_HEAD.NUM_CONV):
                 w.conv(

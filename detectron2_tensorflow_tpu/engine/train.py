@@ -26,6 +26,17 @@ from ..solver import build_optimizer, scaled_max_iter
 logger = logging.getLogger(__name__)
 
 
+def _merge_tree(dst, src):
+    """Recursively overlay src dict onto dst dict (returns a new dict)."""
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_tree(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -76,9 +87,19 @@ def build_train_step(cfg, model: DetectorModel, example_params, mesh=None):
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"total_loss": total, **loss_dict}
+        # Fold BatchNorm running-stat updates (if any) back into model state.
+        model_state = state.model_state
+        new_aux = dict(new_aux)
+        bn_updates = new_aux.pop("batch_stats_updates", None)
+        if bn_updates:
+            model_state = dict(model_state)
+            model_state["batch_stats"] = _merge_tree(
+                model_state["batch_stats"], bn_updates
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
+            model_state=model_state,
             opt_state=new_opt_state,
             aux=new_aux,
             rng=rng,
@@ -158,6 +179,8 @@ def train(
         if ckpt_mgr is not None:
             ckpt_mgr.save(it + 1, args=_ckpt_args(state))
     if ckpt_mgr is not None:
+        # Always persist the final state (reference saves at max_iter).
+        ckpt_mgr.save(max_iter, args=_ckpt_args(state), force=True)
         ckpt_mgr.wait_until_finished()
     return state
 

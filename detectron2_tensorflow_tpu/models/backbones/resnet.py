@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ...utils import Registry, ShapeSpec
-from ..layers import Conv2D, get_activation, max_pool
+from ..deform_conv import DeformConv2D
+from ..layers import Conv2D, get_activation, get_norm, max_pool
 
 BACKBONE_REGISTRY = Registry("BACKBONE")
 
@@ -70,6 +71,9 @@ class BottleneckBlock(nn.Module):
     dilation: int = 1
     norm: str = "FrozenBN"
     has_shortcut: bool = False
+    deform: bool = False
+    deform_modulated: bool = False
+    deform_groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,11 +83,24 @@ class BottleneckBlock(nn.Module):
             self.bottleneck_channels, 1, strides=s1, norm=self.norm,
             activation="relu", dtype=self.dtype, name="conv1",
         )(x, train=train)
-        out = Conv2D(
-            self.bottleneck_channels, 3, strides=s3, groups=self.num_groups,
-            dilation=self.dilation, norm=self.norm, activation="relu",
-            dtype=self.dtype, name="conv2",
-        )(out, train=train)
+        if self.deform:
+            out = DeformConv2D(
+                self.bottleneck_channels, 3, strides=s3,
+                dilation=self.dilation, deform_groups=self.deform_groups,
+                modulated=self.deform_modulated, dtype=self.dtype, name="conv2",
+            )(out, train=train)
+            norm = get_norm(
+                self.norm, self.bottleneck_channels, self.dtype, name="conv2_norm"
+            )
+            if norm is not None:
+                out = norm(out, train=train)
+            out = nn.relu(out)
+        else:
+            out = Conv2D(
+                self.bottleneck_channels, 3, strides=s3, groups=self.num_groups,
+                dilation=self.dilation, norm=self.norm, activation="relu",
+                dtype=self.dtype, name="conv2",
+            )(out, train=train)
         out = Conv2D(
             self.out_channels, 1, norm=self.norm, dtype=self.dtype, name="conv3",
         )(out, train=train)
@@ -137,6 +154,9 @@ class ResNetStage(nn.Module):
     dilation: int = 1
     norm: str = "FrozenBN"
     use_bottleneck: bool = True
+    deform: bool = False
+    deform_modulated: bool = False
+    deform_groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -152,6 +172,9 @@ class ResNetStage(nn.Module):
                     dilation=self.dilation,
                     norm=self.norm,
                     has_shortcut=(i == 0),
+                    deform=self.deform,
+                    deform_modulated=self.deform_modulated,
+                    deform_groups=self.deform_groups,
                     dtype=self.dtype,
                     name=str(i),
                 )(x, train=train)
@@ -182,6 +205,9 @@ class ResNet(nn.Module):
     out_features: Sequence[str] = ("res4",)
     freeze_at: int = 2
     num_stages: int = 4  # trimmed for C4 trunks that stop at res4
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
+    deform_groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -216,6 +242,9 @@ class ResNet(nn.Module):
                 dilation=dilation,
                 norm=self.norm,
                 use_bottleneck=use_bottleneck,
+                deform=self.deform_on_per_stage[idx],
+                deform_modulated=self.deform_modulated,
+                deform_groups=self.deform_groups,
                 dtype=self.dtype,
                 name=name,
             )(x, train=train)
@@ -267,6 +296,9 @@ def build_resnet_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, Dict[str, 
         out_features=tuple(out_features),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
         num_stages=max_stage - 1,
+        deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
+        deform_modulated=r.DEFORM_MODULATED,
+        deform_groups=r.DEFORM_NUM_GROUPS,
         dtype=dtype,
         name="backbone",
     )

@@ -102,16 +102,17 @@ class GroupNorm(nn.Module):
         )(x)
 
 
-def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32) -> Optional[nn.Module]:
+def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32,
+             name: Optional[str] = None) -> Optional[nn.Module]:
     """Norm factory keyed by the config vocabulary (reference get_norm)."""
     if norm == "":
         return None
     if norm == "FrozenBN":
-        return FrozenBatchNorm(features, dtype=dtype)
+        return FrozenBatchNorm(features, dtype=dtype, name=name)
     if norm in ("BN", "SyncBN"):  # identical under the pjit data mesh
-        return BatchNorm(features, dtype=dtype)
+        return BatchNorm(features, dtype=dtype, name=name)
     if norm == "GN":
-        return GroupNorm(features, dtype=dtype)
+        return GroupNorm(features, dtype=dtype, name=name)
     raise ValueError(f"unknown norm '{norm}'")
 
 

@@ -27,6 +27,39 @@ def preprocess_images(images: jnp.ndarray, pixel_mean, pixel_std, input_format: 
     return images.astype(dtype)
 
 
+class StatsTape:
+    """Accumulates BatchNorm running-stat updates across apply calls.
+
+    Training applies touch different submodules; each may emit
+    ``batch_stats`` updates. The tape merges them; the train step folds the
+    result back into the model state (TrainState.model_state).
+    """
+
+    def __init__(self, variables):
+        self.track = "batch_stats" in variables
+        self.updates: Dict = {}
+
+    def apply(self, module, variables, *args, **kwargs):
+        if not self.track or not kwargs.get("train", False):
+            return module.apply(variables, *args, **kwargs)
+        out, new = module.apply(
+            variables, *args, mutable=["batch_stats"], **kwargs
+        )
+        _deep_update(self.updates, dict(new.get("batch_stats", {})))
+        return out
+
+    def state(self) -> Dict:
+        return {"batch_stats_updates": self.updates} if self.updates else {}
+
+
+def _deep_update(dst: Dict, src: Dict) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
 class DetectorModel:
     """(module, drivers) bundle with a uniform functional API.
 

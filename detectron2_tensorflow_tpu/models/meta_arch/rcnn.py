@@ -31,7 +31,7 @@ from ..sem_seg import (
     sem_seg_loss,
 )
 from .build import META_ARCH_REGISTRY
-from .common import DetectorModel, preprocess_images
+from .common import DetectorModel, StatsTape, preprocess_images
 
 
 class GeneralizedRCNNModule(nn.Module):
@@ -227,14 +227,15 @@ class _RCNNDrivers:
         )
 
     # -- module call helpers ---------------------------------------------------
-    def features_and_rpn(self, variables, batch, train):
+    def features_and_rpn(self, variables, batch, train, tape=None):
+        tape = tape or StatsTape(variables)
         images = self.prep(batch)
-        features = self.module.apply(
-            variables, images, train=train, method="compute_features"
+        features = tape.apply(
+            self.module, variables, images, train=train, method="compute_features"
         )
         rpn_feats = [features[f] for f in self.rpn.in_features]
-        logits, deltas = self.module.apply(
-            variables, rpn_feats, train=train, method="rpn"
+        logits, deltas = tape.apply(
+            self.module, variables, rpn_feats, train=train, method="rpn"
         )
         return (
             features,
@@ -242,19 +243,24 @@ class _RCNNDrivers:
             [d.astype(jnp.float32) for d in deltas],
         )
 
-    def run_box(self, variables, features, boxes, stage, train, grad_scale=1.0):
+    def run_box(self, variables, features, boxes, stage, train, grad_scale=1.0,
+                tape=None):
+        tape = tape or StatsTape(variables)
         pooled = self.roi.pool_box_features(features, boxes)
         if grad_scale != 1.0:
             pooled = scale_gradient(pooled, grad_scale)
-        scores, deltas, roi_feats = self.module.apply(
-            variables, pooled, stage=stage, train=train, method="box"
+        scores, deltas, roi_feats = tape.apply(
+            self.module, variables, pooled, stage=stage, train=train, method="box"
         )
         return scores.astype(jnp.float32), deltas.astype(jnp.float32), roi_feats
 
     # -- losses ------------------------------------------------------------------
     def loss_fn(self, variables, batch, rng, state):
+        tape = StatsTape(variables)
         rng_rpn, rng_roi = jax.random.split(rng)
-        features, logits, deltas = self.features_and_rpn(variables, batch, True)
+        features, logits, deltas = self.features_and_rpn(
+            variables, batch, True, tape=tape
+        )
         image_sizes = batch["image_size"]
 
         losses = self.rpn.losses(rng_rpn, logits, deltas, batch, image_sizes)
@@ -275,7 +281,7 @@ class _RCNNDrivers:
             for k in range(self.num_stages):
                 scores, ds, _ = self.run_box(
                     variables, features, boxes, k, True,
-                    grad_scale=1.0 / self.num_stages,
+                    grad_scale=1.0 / self.num_stages, tape=tape,
                 )
                 inst_losses.update(
                     self.roi.stage_losses(
@@ -288,7 +294,7 @@ class _RCNNDrivers:
                     valid = sampled.valid  # refined boxes keep slot validity
         else:
             scores, ds, roi_feats = self.run_box(
-                variables, features, sampled.boxes, 0, True
+                variables, features, sampled.boxes, 0, True, tape=tape
             )
             inst_losses.update(self.roi.box_losses(scores, ds, sampled))
 
@@ -303,8 +309,8 @@ class _RCNNDrivers:
                 mask_in = self.roi.pool_mask_features(
                     features, sampled.boxes[:, :m]
                 )
-            mask_logits = self.module.apply(
-                variables, mask_in, train=True, method="mask"
+            mask_logits = tape.apply(
+                self.module, variables, mask_in, train=True, method="mask"
             )
             inst_losses["loss_mask"] = self.roi.mask_loss(
                 mask_logits.astype(jnp.float32), sampled, batch
@@ -313,8 +319,8 @@ class _RCNNDrivers:
         if self.with_sem_seg:
             for k, v in inst_losses.items():
                 inst_losses[k] = v * self.instance_loss_weight
-            sem_logits = self.module.apply(
-                variables, features, train=True, method="sem_seg"
+            sem_logits = tape.apply(
+                self.module, variables, features, train=True, method="sem_seg"
             ).astype(jnp.float32)
             losses["loss_sem_seg"] = sem_seg_loss(
                 sem_logits, batch["gt_sem_seg"], self.sem_seg_ignore,
@@ -322,7 +328,7 @@ class _RCNNDrivers:
             )
         losses.update(inst_losses)
         total = sum(losses.values())
-        return total, (losses, state)
+        return total, (losses, {**state, **tape.state()})
 
     # -- inference ------------------------------------------------------------------
     def predict_fn(self, variables, batch):

@@ -16,8 +16,9 @@ import jax.numpy as jnp
 from ..backbones.resnet import build_resnet_backbone
 from ..necks.fpn import build_neck
 from ..single_stage.retinanet import RetinaNet
+from ..single_stage.solov2 import SOLOv2
 from .build import META_ARCH_REGISTRY
-from .common import DetectorModel, preprocess_images
+from .common import DetectorModel, StatsTape, preprocess_images
 
 
 class _SingleStageTrunk(nn.Module):
@@ -31,20 +32,26 @@ class _SingleStageTrunk(nn.Module):
         return self.head(features, train=train)
 
 
+def _build_backbone_neck(cfg):
+    dtype = jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32
+    backbone_name = cfg.MODEL.BACKBONE.NAME
+    if backbone_name == "ResNet":
+        backbone, bb_shapes = build_resnet_backbone(cfg, dtype=dtype)
+    elif backbone_name == "DarkNet53":
+        from ..backbones.darknet import build_darknet_backbone
+
+        backbone, bb_shapes = build_darknet_backbone(cfg, dtype=dtype)
+    else:
+        raise NotImplementedError(f"backbone {backbone_name}")
+    neck, neck_shapes = build_neck(cfg, bb_shapes, dtype=dtype)
+    return backbone, neck, neck_shapes, dtype
+
+
 @META_ARCH_REGISTRY.register(name="SingleStageDetector")
 def build_single_stage_detector(cfg) -> DetectorModel:
-    dtype = jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32
-    backbone, bb_shapes = build_resnet_backbone(cfg, dtype=dtype)
-    neck, neck_shapes = build_neck(cfg, bb_shapes, dtype=dtype)
+    backbone, neck, neck_shapes, dtype = _build_backbone_neck(cfg)
 
     head_name = cfg.MODEL.SINGLE_STAGE_HEAD.NAME
-    if head_name == "RetinaNetHead":
-        driver = RetinaNet(cfg, neck_shapes)
-    else:
-        raise NotImplementedError(f"single-stage head {head_name}")
-    head = driver.head_module(cfg, dtype)
-
-    module = _SingleStageTrunk(backbone=backbone, neck=neck, head=head)
     pixel_mean = list(cfg.MODEL.PIXEL_MEAN)
     pixel_std = list(cfg.MODEL.PIXEL_STD)
     input_format = cfg.MODEL.INPUT_FORMAT
@@ -54,29 +61,81 @@ def build_single_stage_detector(cfg) -> DetectorModel:
             batch["image"], pixel_mean, pixel_std, input_format, dtype
         )
 
-    def init_fn(rng, batch):
-        return module.init(rng, prep(batch), train=False)
+    if head_name == "RetinaNetHead":
+        driver = RetinaNet(cfg, neck_shapes)
+        head = driver.head_module(cfg, dtype)
+        module = _SingleStageTrunk(backbone=backbone, neck=neck, head=head)
 
-    def loss_fn(variables, batch, rng, state):
-        logits, deltas = module.apply(variables, prep(batch), train=True)
-        logits = [l.astype(jnp.float32) for l in logits]
-        deltas = [d.astype(jnp.float32) for d in deltas]
-        losses, new_norm = driver.losses(
-            logits, deltas, batch, state["loss_normalizer"]
+        def init_fn(rng, batch):
+            return module.init(rng, prep(batch), train=False)
+
+        def loss_fn(variables, batch, rng, state):
+            tape = StatsTape(variables)
+            logits, deltas = tape.apply(module, variables, prep(batch), train=True)
+            logits = [l.astype(jnp.float32) for l in logits]
+            deltas = [d.astype(jnp.float32) for d in deltas]
+            losses, new_norm = driver.losses(
+                logits, deltas, batch, state["loss_normalizer"]
+            )
+            new_state = {"loss_normalizer": new_norm, **tape.state()}
+            return sum(losses.values()), (losses, new_state)
+
+        def predict_fn(variables, batch):
+            logits, deltas = module.apply(variables, prep(batch), train=False)
+            logits = [l.astype(jnp.float32) for l in logits]
+            deltas = [d.astype(jnp.float32) for d in deltas]
+            return driver.inference(logits, deltas, batch["image_size"])
+
+        return DetectorModel(
+            module, init_fn, loss_fn, predict_fn,
+            initial_state={"loss_normalizer": jnp.asarray(100.0)},
         )
-        total = sum(losses.values())
-        return total, (losses, {"loss_normalizer": new_norm})
 
-    def predict_fn(variables, batch):
-        logits, deltas = module.apply(variables, prep(batch), train=False)
-        logits = [l.astype(jnp.float32) for l in logits]
-        deltas = [d.astype(jnp.float32) for d in deltas]
-        return driver.inference(logits, deltas, batch["image_size"])
+    if head_name == "SOLOv2Head":
+        driver = SOLOv2(cfg, neck_shapes)
+        head = driver.head_module(cfg, dtype)
+        module = _SingleStageTrunk(backbone=backbone, neck=neck, head=head)
 
-    return DetectorModel(
-        module,
-        init_fn,
-        loss_fn,
-        predict_fn,
-        initial_state={"loss_normalizer": jnp.asarray(100.0)},
-    )
+        def init_fn(rng, batch):
+            return module.init(rng, prep(batch), train=False)
+
+        def loss_fn(variables, batch, rng, state):
+            tape = StatsTape(variables)
+            cate, kernels, mask_feat = tape.apply(
+                module, variables, prep(batch), train=True
+            )
+            input_size = batch["image"].shape[1:3]
+            losses = driver.losses(rng, cate, kernels, mask_feat, batch, input_size)
+            return sum(losses.values()), (losses, {**state, **tape.state()})
+
+        def predict_fn(variables, batch):
+            cate, kernels, mask_feat = module.apply(
+                variables, prep(batch), train=False
+            )
+            return driver.inference(cate, kernels, mask_feat, batch["image_size"])
+
+        return DetectorModel(module, init_fn, loss_fn, predict_fn)
+
+    if head_name == "YOLOV4Head":
+        from ..single_stage.yolov4 import YOLOv4
+
+        driver = YOLOv4(cfg, neck_shapes)
+        head = driver.head_module(cfg, dtype)
+        module = _SingleStageTrunk(backbone=backbone, neck=neck, head=head)
+
+        def init_fn(rng, batch):
+            return module.init(rng, prep(batch), train=False)
+
+        def loss_fn(variables, batch, rng, state):
+            tape = StatsTape(variables)
+            preds = tape.apply(module, variables, prep(batch), train=True)
+            losses = driver.losses(preds, batch)
+            return sum(losses.values()), (losses, {**state, **tape.state()})
+
+        def predict_fn(variables, batch):
+            preds = module.apply(variables, prep(batch), train=False)
+            return driver.inference(preds, batch["image_size"])
+
+        return DetectorModel(module, init_fn, loss_fn, predict_fn)
+
+    raise NotImplementedError(f"single-stage head {head_name}")

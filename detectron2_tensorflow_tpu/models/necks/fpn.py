@@ -143,5 +143,7 @@ def build_neck(
             )
         return module, out_shapes
     # Other necks (e.g. YOLOV4 PANet) register themselves here.
+    from . import yolov4 as _yolov4  # noqa: F401 — registration side effect
+
     module_cls = NECK_REGISTRY.get(name)
     return module_cls.from_config(cfg, input_shapes, dtype=dtype)  # type: ignore

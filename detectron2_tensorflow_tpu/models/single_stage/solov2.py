@@ -1,0 +1,370 @@
+"""SOLOv2: grid-cell instance segmentation with dynamic mask kernels.
+
+Parity target: /root/reference/lib/modeling/single_stage_heads/solo_v2.py
+(721 LoC of tf.map_fn/SparseTensor plumbing). TPU-native reformulation:
+
+  * GT assignment (scale-range level selection + sigma-shrunken center
+    region around each instance's mass center) is computed densely per grid
+    as an argmin-area claim over fixed [G] GT slots — no sparse tensors;
+  * the positive-cell set is capped at ``max_pos`` slots per image (top-k on
+    validity), so the dynamic-conv mask generation is one batched einsum
+    ``[P, E] x [Hm, Wm, E] -> [P, Hm, Wm]`` on the MXU;
+  * inference: point-NMS (2x2 max-pool equality), flat top-k across levels,
+    dynamic conv, maskness rescoring, matrix NMS (ops/nms.py), boxes from
+    mask extents.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops import matrix_nms
+from ...structures import Instances, paste_masks_in_image
+from ..layers import Conv2D
+from ..losses import dice_loss, sigmoid_focal_loss
+from ..sem_seg import upsample_bilinear
+
+
+def _coord_grids(h: int, w: int, dtype) -> jnp.ndarray:
+    """[h, w, 2] coord-conv channels in [-1, 1] (x then y)."""
+    ys = jnp.linspace(-1.0, 1.0, h, dtype=dtype)
+    xs = jnp.linspace(-1.0, 1.0, w, dtype=dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx, gy], axis=-1)
+
+
+class SOLOv2Head(nn.Module):
+    """Category + kernel towers, shared across levels (applied per grid)."""
+
+    num_classes: int
+    in_features: Sequence[str]
+    num_grids: Sequence[int]
+    num_convs: int = 4
+    convs_dim: int = 512
+    kernel_out: int = 256  # mask_kernel_size^2 * mask_feature_out_dims
+    norm: str = "GN"
+    prior_prob: float = 0.01
+    # mask feature branch
+    mask_in_features: Sequence[str] = ("p2", "p3", "p4", "p5")
+    mask_strides: Sequence[int] = (4, 8, 16, 32)
+    mask_convs_dim: int = 128
+    mask_out_dims: int = 256
+    mask_norm: str = "GN"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False):
+        """Returns (cate_logits [B,S,S,K] per level, kernels [B,S,S,E] per
+        level, mask_features [B, H/4, W/4, D])."""
+        cate_tower = [
+            Conv2D(self.convs_dim, 3, norm=self.norm, activation="relu",
+                   dtype=self.dtype, name=f"cate_tower_{i}")
+            for i in range(self.num_convs)
+        ]
+        kernel_tower = [
+            Conv2D(self.convs_dim, 3, norm=self.norm, activation="relu",
+                   dtype=self.dtype, name=f"kernel_tower_{i}")
+            for i in range(self.num_convs)
+        ]
+        bias = -math.log((1 - self.prior_prob) / self.prior_prob)
+        cate_pred = Conv2D(
+            self.num_classes, 3, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.constant(bias), name="cate_pred",
+        )
+        kernel_pred = Conv2D(
+            self.kernel_out, 3, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01), name="kernel_pred",
+        )
+
+        cate_logits, kernels = [], []
+        for f, s in zip(self.in_features, self.num_grids):
+            x = features[f]
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, s, s, c), method="bilinear")
+            coords = jnp.broadcast_to(
+                _coord_grids(s, s, jnp.float32)[None].astype(x.dtype), (b, s, s, 2)
+            )
+            xk = jnp.concatenate([x, coords], axis=-1)
+            k = xk
+            for conv in kernel_tower:
+                k = conv(k, train=train)
+            kernels.append(kernel_pred(k, train=train))
+            ca = x
+            for conv in cate_tower:
+                ca = conv(ca, train=train)
+            cate_logits.append(cate_pred(ca, train=train))
+
+        # Mask feature branch: per level chains to the common stride, sum.
+        total = None
+        for f, stride in zip(self.mask_in_features, self.mask_strides):
+            x = features[f]
+            if f == self.mask_in_features[-1]:  # coord conv on the coarsest
+                b, h, w, c = x.shape
+                coords = jnp.broadcast_to(
+                    _coord_grids(h, w, jnp.float32)[None].astype(x.dtype),
+                    (b, h, w, 2),
+                )
+                x = jnp.concatenate([x, coords], axis=-1)
+            n_ups = max(0, int(math.log2(stride)) - 2)
+            for i in range(max(1, n_ups)):
+                x = Conv2D(
+                    self.mask_convs_dim, 3, norm=self.mask_norm,
+                    activation="relu", dtype=self.dtype, name=f"mask_{f}_{i}",
+                )(x, train=train)
+                if stride > 4:
+                    x = upsample_bilinear(x, 2)
+                    stride //= 2
+            total = x if total is None else total + x
+        mask_features = Conv2D(
+            self.mask_out_dims, 1, norm=self.mask_norm, activation="relu",
+            dtype=self.dtype, name="mask_pred",
+        )(total, train=train)
+        return cate_logits, kernels, mask_features
+
+
+class SOLOv2:
+    """Pure driver: GT assignment, losses, inference."""
+
+    def __init__(self, cfg, feature_shapes: Dict):
+        h = cfg.MODEL.SINGLE_STAGE_HEAD
+        s = cfg.MODEL.SOLO
+        self.num_classes = h.NUM_CLASSES
+        self.in_features = list(h.IN_FEATURES)
+        self.num_grids = list(s.NUM_GRIDS)
+        self.scale_ranges = [tuple(r) for r in s.SCALE_RANGES]
+        self.sigma = s.SIGMA
+        self.focal_alpha = s.FOCAL_LOSS_ALPHA
+        self.focal_gamma = s.FOCAL_LOSS_GAMMA
+        self.ins_loss_weight = s.INS_LOSS_WEIGHT
+        self.score_thresh = s.SCORE_THRESH_TEST
+        self.update_thresh = s.UPDATE_SCORE_THRESH_TEST
+        self.mask_thresh = s.MASK_THRESH_TEST
+        self.topk = s.TOPK_CANDIDATES_TEST
+        self.nms_kernel = s.NMS_KERNEL
+        self.nms_sigma = s.NMS_SIGMA
+        self.detections_per_image = cfg.TEST.DETECTIONS_PER_IMAGE
+        self.max_pos = 256  # positive-cell cap per image (fixed shape)
+        self.cfg = cfg
+
+    def head_module(self, cfg, dtype) -> SOLOv2Head:
+        s = cfg.MODEL.SOLO
+        return SOLOv2Head(
+            num_classes=self.num_classes,
+            in_features=tuple(self.in_features),
+            num_grids=tuple(self.num_grids),
+            num_convs=s.MASK_KERNEL_NUM_CONVS,
+            convs_dim=s.MASK_KERNEL_CONVS_DIM,
+            kernel_out=s.MASK_KERNEL_SIZE**2 * s.MASK_FEATURE_OUT_DIMS,
+            norm=s.MASK_KERNEL_NORM,
+            prior_prob=s.PRIOR_PROB,
+            mask_in_features=tuple(s.MASK_FEATURE_IN_FEATURES),
+            mask_convs_dim=s.MASK_FEATURE_CONVS_DIM,
+            mask_out_dims=s.MASK_FEATURE_OUT_DIMS,
+            mask_norm=s.MASK_FEATURE_NORM,
+            dtype=dtype,
+            name="head",
+        )
+
+    # -- GT assignment -------------------------------------------------------
+    def _assign_level(self, gt, grid: int, lo: float, hi: float, input_size):
+        """Per image: dense [S, S] assignment for one level.
+
+        gt fields are the padded batch arrays for ONE image. Returns
+        (cate_target [S,S] with bg=K, gt_idx [S,S], pos [S,S])."""
+        boxes = gt["gt_boxes"]  # [G, 4]
+        classes = gt["gt_classes"]
+        valid = gt["gt_valid"]
+        mini = gt["gt_masks"]  # [G, Mm, Mm]
+        g = boxes.shape[0]
+        ih, iw = input_size
+
+        w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
+        h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
+        area_sqrt = jnp.sqrt(w * h)
+        in_level = valid & (area_sqrt >= lo) & (area_sqrt <= hi) & (w > 0) & (h > 0)
+
+        # Mass center from the mini-mask mapped into image coordinates.
+        mm = mini.shape[-1]
+        ys = (jnp.arange(mm) + 0.5) / mm
+        mass = jnp.maximum(mini.sum(axis=(1, 2)), 1e-6)
+        com_y = (mini.sum(axis=2) @ ys) / mass  # [G] in [0,1] box frame
+        com_x = (mini.sum(axis=1) @ ys) / mass
+        cy = boxes[:, 1] + com_y * h
+        cx = boxes[:, 0] + com_x * w
+
+        def cell(c, size):
+            return jnp.floor(c / size * grid)
+
+        coord_y = cell(cy, ih)
+        coord_x = cell(cx, iw)
+        half_h = 0.5 * h * self.sigma
+        half_w = 0.5 * w * self.sigma
+        top = jnp.clip(jnp.maximum(coord_y - 1, cell(cy - half_h, ih)), 0, grid - 1)
+        down = jnp.clip(jnp.minimum(coord_y + 1, cell(cy + half_h, ih)), 0, grid - 1)
+        left = jnp.clip(jnp.maximum(coord_x - 1, cell(cx - half_w, iw)), 0, grid - 1)
+        right = jnp.clip(jnp.minimum(coord_x + 1, cell(cx + half_w, iw)), 0, grid - 1)
+
+        yy = jnp.arange(grid)[:, None, None]  # [S,1,1]
+        xx = jnp.arange(grid)[None, :, None]  # [1,S,1]
+        claims = (
+            in_level[None, None, :]
+            & (yy >= top[None, None, :]) & (yy <= down[None, None, :])
+            & (xx >= left[None, None, :]) & (xx <= right[None, None, :])
+        )  # [S, S, G]
+        # Overlap resolution: smallest-area claimant wins (deterministic).
+        areas = jnp.where(in_level, area_sqrt, 1e10)
+        masked_area = jnp.where(claims, areas[None, None, :], 1e10)
+        gt_idx = jnp.argmin(masked_area, axis=-1)  # [S, S]
+        pos = jnp.any(claims, axis=-1)
+        cate = jnp.where(pos, jnp.take(classes, gt_idx), self.num_classes)
+        return cate, gt_idx, pos
+
+    # -- losses ------------------------------------------------------------------
+    def losses(self, rng, cate_logits: List, kernels: List, mask_features, gt,
+               input_size):
+        b = cate_logits[0].shape[0]
+        hm, wm = mask_features.shape[1:3]
+
+        def per_image(img_gt, per_level_cate, per_level_kernels, mask_feat, key):
+            cate_loss = 0.0
+            pos_list, idx_list, kern_list = [], [], []
+            for (lo, hi), grid, logit, kern in zip(
+                self.scale_ranges, self.num_grids, per_level_cate, per_level_kernels
+            ):
+                cate, gt_idx, pos = self._assign_level(img_gt, grid, lo, hi, input_size)
+                target = jax.nn.one_hot(cate, self.num_classes, dtype=logit.dtype)
+                cate_loss = cate_loss + sigmoid_focal_loss(
+                    logit, target, self.focal_alpha, self.focal_gamma
+                ).sum()
+                pos_list.append(pos.reshape(-1))
+                idx_list.append(gt_idx.reshape(-1))
+                kern_list.append(kern.reshape(-1, kern.shape[-1]))
+            pos = jnp.concatenate(pos_list)  # [cells]
+            gt_idx = jnp.concatenate(idx_list)
+            kerns = jnp.concatenate(kern_list, axis=0)  # [cells, E]
+
+            # Cap positives at max_pos fixed slots.
+            score = jnp.where(pos, 1.0, 0.0) + jax.random.uniform(
+                key, pos.shape, minval=0.0, maxval=0.5
+            )
+            _, top_cells = jax.lax.top_k(score, self.max_pos)
+            sel_pos = jnp.take(pos, top_cells)
+            sel_gt = jnp.take(gt_idx, top_cells)
+            sel_kern = jnp.take(kerns, top_cells, axis=0)  # [P, E]
+
+            # Dynamic conv: one einsum on the MXU.
+            pred = jnp.einsum(
+                "pe,hwe->phw", sel_kern, mask_feat,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            pred = jax.nn.sigmoid(pred)
+
+            # GT masks at mask-feature resolution from mini-masks.
+            gt_masks = paste_masks_in_image(
+                img_gt["gt_masks"], img_gt["gt_boxes"] / 4.0, (hm, wm), threshold=-1.0
+            )
+            gt_masks = (gt_masks > 0.5).astype(pred.dtype)
+            sel_masks = jnp.take(gt_masks, sel_gt, axis=0)
+            d = dice_loss(pred, sel_masks)
+            ins_loss = jnp.sum(d * sel_pos) / jnp.maximum(jnp.sum(sel_pos), 1.0)
+            num_pos = jnp.sum(pos)
+            return cate_loss, ins_loss, num_pos
+
+        keys = jax.random.split(rng, b)
+        cate_losses, ins_losses, num_pos = jax.vmap(per_image)(
+            {k: gt[k] for k in ("gt_boxes", "gt_classes", "gt_valid", "gt_masks")},
+            [c.astype(jnp.float32) for c in cate_logits],
+            [k.astype(jnp.float32) for k in kernels],
+            mask_features.astype(jnp.float32),
+            keys,
+        )
+        norm = jnp.maximum(jnp.sum(num_pos), 1.0)
+        return {
+            "loss_ins": self.ins_loss_weight * jnp.mean(ins_losses),
+            "loss_cate": jnp.sum(cate_losses) / norm,
+        }
+
+    # -- inference ------------------------------------------------------------------
+    def inference(self, cate_logits: List, kernels: List, mask_features,
+                  image_sizes) -> Instances:
+        def per_image(per_level_cate, per_level_kernels, mask_feat, image_size):
+            scores_l, kerns_l = [], []
+            for logit, kern in zip(per_level_cate, per_level_kernels):
+                s = jax.nn.sigmoid(logit)  # [S, S, K]
+                # Point NMS: keep strict local maxima under a 2x2 max pool.
+                pooled = jax.lax.reduce_window(
+                    s, -jnp.inf, jax.lax.max, (2, 2, 1), (1, 1, 1),
+                    [(1, 0), (1, 0), (0, 0)],
+                )
+                s = jnp.where(s == pooled, s, 0.0)
+                scores_l.append(s.reshape(-1, self.num_classes))
+                kerns_l.append(kern.reshape(-1, kern.shape[-1]))
+            scores = jnp.concatenate(scores_l, 0)  # [cells, K]
+            kerns = jnp.concatenate(kerns_l, 0)
+            flat = scores.reshape(-1)
+            k = min(self.topk, flat.shape[0])
+            top_scores, top_idx = jax.lax.top_k(flat, k)
+            cell = top_idx // self.num_classes
+            cls = top_idx % self.num_classes
+            sel_kern = jnp.take(kerns, cell, axis=0)
+            pred = jax.nn.sigmoid(
+                jnp.einsum("pe,hwe->phw", sel_kern, mask_feat)
+            )  # [k, Hm, Wm]
+            binary = pred > self.mask_thresh
+            areas = jnp.sum(binary, axis=(1, 2)).astype(jnp.float32)
+            maskness = jnp.sum(pred * binary, axis=(1, 2)) / jnp.maximum(areas, 1e-6)
+            scores2 = top_scores * maskness
+            valid = (top_scores > self.score_thresh) & (areas > 0)
+            scores2 = jnp.where(valid, scores2, 0.0)
+
+            # Matrix NMS expects score-sorted masks.
+            order = jnp.argsort(-scores2)
+            binary_sorted = jnp.take(binary, order, axis=0)
+            decayed = matrix_nms(
+                binary_sorted.astype(jnp.float32),
+                jnp.take(cls, order),
+                jnp.take(scores2, order),
+                sigma=self.nms_sigma,
+                kernel=self.nms_kernel,
+            )
+            keep_scores, keep_idx = jax.lax.top_k(
+                jnp.where(decayed > self.update_thresh, decayed, 0.0),
+                self.detections_per_image,
+            )
+            final_masks = jnp.take(binary_sorted, keep_idx, axis=0)
+            final_cls = jnp.take(jnp.take(cls, order), keep_idx)
+            final_valid = keep_scores > 0
+
+            # Boxes from mask extents (at mask-feature resolution * 4).
+            hm, wm = final_masks.shape[1:]
+            ys = jnp.arange(hm, dtype=jnp.float32)
+            xs = jnp.arange(wm, dtype=jnp.float32)
+            any_y = jnp.any(final_masks, axis=2)
+            any_x = jnp.any(final_masks, axis=1)
+            y0 = jnp.min(jnp.where(any_y, ys[None], 1e9), axis=1)
+            y1 = jnp.max(jnp.where(any_y, ys[None] + 1, -1e9), axis=1)
+            x0 = jnp.min(jnp.where(any_x, xs[None], 1e9), axis=1)
+            x1 = jnp.max(jnp.where(any_x, xs[None] + 1, -1e9), axis=1)
+            boxes = jnp.stack([x0, y0, x1, y1], axis=1) * 4.0
+            boxes = jnp.where(final_valid[:, None], boxes, 0.0)
+            return Instances(
+                boxes=boxes,
+                scores=jnp.where(final_valid, keep_scores, 0.0),
+                pred_classes=jnp.where(final_valid, final_cls, -1),
+                pred_masks=final_masks,  # stride-4 resolution
+                is_valid=final_valid,
+            )
+
+        b = cate_logits[0].shape[0]
+        return jax.vmap(per_image)(
+            [c.astype(jnp.float32) for c in cate_logits],
+            [k.astype(jnp.float32) for k in kernels],
+            mask_features.astype(jnp.float32),
+            image_sizes,
+        )

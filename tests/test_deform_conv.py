@@ -1,0 +1,65 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectron2_tensorflow_tpu.models.deform_conv import DeformConv2D
+
+
+def test_zero_offset_equals_plain_conv():
+    """With zero offsets (the init state), deformable conv must equal a
+    standard 3x3 conv with the same kernel."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 9, 11, 6)).astype(np.float32))
+    m = DeformConv2D(features=4, kernel_size=3)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+
+    kernel = variables["params"]["kernel"]  # [3, 3, 6, 4]
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
+def test_modulated_zero_offset_is_half_conv():
+    """v2 at init: offsets zero, modulation sigmoid(0)=0.5 -> conv * 0.5."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    m = DeformConv2D(features=3, kernel_size=3, modulated=True)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    kernel = variables["params"]["kernel"]
+    want = 0.5 * jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
+def test_strided_deform_shape():
+    x = jnp.zeros((2, 16, 16, 8))
+    m = DeformConv2D(features=8, kernel_size=3, strides=2, deform_groups=2)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    assert out.shape == (2, 8, 8, 8)
+
+
+def test_resnet_with_deform_stage():
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.models.backbones.resnet import (
+        build_resnet_backbone,
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3"]
+    cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE = [False, True, False, False]
+    cfg.MODEL.RESNETS.DEFORM_MODULATED = True
+    module, shapes = build_resnet_backbone(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), x)
+    # deform conv2 exists in res3 blocks
+    assert "conv_offset" in variables["params"]["res3"]["0"]["conv2"]
+    out = jax.jit(lambda v, x: module.apply(v, x))(variables, x)
+    assert out["res3"].shape == (1, 8, 8, 512)

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Training entry point (reference: /root/reference/train.py).
+
+Usage:
+    python train.py --config_file configs/my.yaml [KEY VALUE ...]
+
+Expects a COCO-format dataset: ``<DATASETS.ROOT_DIR>/<DATASETS.TRAIN>.json``
+annotations and ``<DATASETS.ROOT_DIR>/<DATASETS.TRAIN>/`` images.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--max_iter", type=int, default=None, help="override MAX_ITER")
+    p.add_argument("opts", nargs=argparse.REMAINDER, help="KEY VALUE overrides")
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args()
+
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.config.finalize import finalize
+    from detectron2_tensorflow_tpu.data import CocoDataset, build_dataloader
+    from detectron2_tensorflow_tpu.engine import train
+    from detectron2_tensorflow_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    finalize(cfg, training=True)
+
+    ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".json")
+    img_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN)
+    dataset = CocoDataset(ann, img_root, load_masks=cfg.MODEL.MASK_ON)
+
+    model = build_model(cfg)
+    data_iter = build_dataloader(cfg, dataset, training=True, seed=max(cfg.SEED, 0))
+
+    ckpt_dir = os.path.join(cfg.LOGS.ROOT_DIR or cfg.OUTPUT_DIR, cfg.LOGS.TRAIN)
+    train(
+        cfg, model, data_iter,
+        max_iter=args.max_iter, checkpoint_dir=ckpt_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()
