@@ -1,0 +1,191 @@
+"""Sharded record building and reading (offline COCO -> TFRecords).
+
+Parity target: /root/reference/lib/data_tools/ (builder.py:5-11,
+build_coco_det.py:16-133, tfrecord_creation_utils.py:4-24). The storage
+format stays TFRecord/tf.Example (interoperable with the reference's
+datasets); reading decodes straight to the numpy sample dicts consumed by
+data/transforms.py — tensorflow is used only for IO, never on the compute
+path.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def _tf():
+    import tensorflow as tf
+
+    return tf
+
+
+def _bytes(v):
+    tf = _tf()
+    return tf.train.Feature(bytes_list=tf.train.BytesList(value=[v]))
+
+
+def _bytes_list(v):
+    tf = _tf()
+    return tf.train.Feature(bytes_list=tf.train.BytesList(value=v))
+
+
+def _floats(v):
+    tf = _tf()
+    return tf.train.Feature(float_list=tf.train.FloatList(value=list(v)))
+
+
+def _ints(v):
+    tf = _tf()
+    return tf.train.Feature(int64_list=tf.train.Int64List(value=list(v)))
+
+
+def _png_encode(mask: np.ndarray) -> bytes:
+    import cv2
+
+    ok, buf = cv2.imencode(".png", mask.astype(np.uint8))
+    assert ok
+    return buf.tobytes()
+
+
+def create_example(sample: Dict, image_bytes: bytes):
+    """Sample dict (+ pre-encoded image) -> tf.train.Example.
+
+    Field names follow the reference TfExampleFields vocabulary.
+    """
+    tf = _tf()
+    boxes = np.asarray(sample["boxes"], np.float32).reshape(-1, 4)
+    h, w = sample["height"], sample["width"]
+    feature = {
+        "image/encoded": _bytes(image_bytes),
+        "image/format": _bytes(b"jpeg"),
+        "image/height": _ints([h]),
+        "image/width": _ints([w]),
+        "image/source_id": _bytes(str(sample["image_id"]).encode()),
+        "image/object/bbox/xmin": _floats(boxes[:, 0] / w),
+        "image/object/bbox/ymin": _floats(boxes[:, 1] / h),
+        "image/object/bbox/xmax": _floats(boxes[:, 2] / w),
+        "image/object/bbox/ymax": _floats(boxes[:, 3] / h),
+        "image/object/class/label": _ints(sample["classes"]),
+        "image/object/is_crowd": _ints(np.asarray(sample["is_crowd"], np.int64)),
+    }
+    if sample.get("masks") is not None and len(sample["masks"]):
+        feature["image/object/mask"] = _bytes_list(
+            [_png_encode(m) for m in sample["masks"]]
+        )
+    return tf.train.Example(features=tf.train.Features(feature=feature))
+
+
+def build_records(
+    dataset,
+    output_pattern: str,
+    num_shards: int = 16,
+) -> List[str]:
+    """Write a CocoDataset-like dataset into sharded TFRecords.
+
+    ``output_pattern``: e.g. "out/train.record"; shards get -00000-of-00016
+    suffixes (the reference's sharding convention).
+    """
+    tf = _tf()
+    import cv2
+
+    paths = [
+        f"{output_pattern}-{i:05d}-of-{num_shards:05d}" for i in range(num_shards)
+    ]
+    os.makedirs(os.path.dirname(output_pattern) or ".", exist_ok=True)
+    writers = [tf.io.TFRecordWriter(p) for p in paths]
+    try:
+        for idx in range(len(dataset)):
+            s = dataset[idx]
+            img = s["image"]
+            ok, buf = cv2.imencode(
+                ".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+            )
+            assert ok
+            ex = create_example(
+                {
+                    "image_id": s.get("image_id", idx),
+                    "height": img.shape[0],
+                    "width": img.shape[1],
+                    "boxes": s["boxes"],
+                    "classes": s["classes"],
+                    "is_crowd": s["is_crowd"],
+                    "masks": s.get("masks"),
+                },
+                buf.tobytes(),
+            )
+            writers[idx % num_shards].write(ex.SerializeToString())
+    finally:
+        for w in writers:
+            w.close()
+    return paths
+
+
+class TFRecordDataset:
+    """Indexable view over sharded TFRecords producing numpy sample dicts.
+
+    Records are indexed once at construction (offsets per shard) so the
+    loader's shuffle-by-index works the same as with CocoDataset.
+    """
+
+    def __init__(self, file_pattern: str, load_masks: bool = True):
+        tf = _tf()
+        import glob as _glob
+
+        self.files = sorted(_glob.glob(file_pattern))
+        assert self.files, f"no records match {file_pattern}"
+        self.load_masks = load_masks
+        self._records: List[bytes] = []
+        for f in self.files:
+            for rec in tf.data.TFRecordDataset(f).as_numpy_iterator():
+                self._records.append(rec)
+
+    def __len__(self) -> int:
+        return len(self._records)
+
+    def __getitem__(self, idx: int) -> Dict:
+        tf = _tf()
+        import cv2
+
+        ex = tf.train.Example()
+        ex.ParseFromString(self._records[idx])
+        f = ex.features.feature
+
+        img = cv2.imdecode(
+            np.frombuffer(f["image/encoded"].bytes_list.value[0], np.uint8),
+            cv2.IMREAD_COLOR,
+        )
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        xmin = np.asarray(f["image/object/bbox/xmin"].float_list.value) * w
+        ymin = np.asarray(f["image/object/bbox/ymin"].float_list.value) * h
+        xmax = np.asarray(f["image/object/bbox/xmax"].float_list.value) * w
+        ymax = np.asarray(f["image/object/bbox/ymax"].float_list.value) * h
+        boxes = np.stack([xmin, ymin, xmax, ymax], axis=1).astype(np.float32) \
+            if len(xmin) else np.zeros((0, 4), np.float32)
+        sample = {
+            "image": img,
+            "image_id": int(f["image/source_id"].bytes_list.value[0]),
+            "boxes": boxes,
+            "classes": np.asarray(
+                f["image/object/class/label"].int64_list.value, np.int32
+            ),
+            "is_crowd": np.asarray(
+                f["image/object/is_crowd"].int64_list.value, bool
+            ),
+        }
+        if self.load_masks:
+            masks = [
+                cv2.imdecode(np.frombuffer(m, np.uint8), cv2.IMREAD_GRAYSCALE)
+                for m in f["image/object/mask"].bytes_list.value
+            ]
+            sample["masks"] = (
+                np.stack(masks).astype(np.float32)
+                if masks
+                else np.zeros((0, h, w), np.float32)
+            )
+        return sample

@@ -1,0 +1,121 @@
+"""Pascal VOC detection evaluation (AP@IoU, CorLoc) in numpy.
+
+Parity target: /root/reference/lib/evaluation/pascal_voc_evaluator.py:19-687
++ per_image_evaluation.py + metrics.py. Single-threshold greedy matching
+with difficult-box ignoring, continuous-interpolation AP (VOC 2010+ style)
+and CorLoc.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def compute_average_precision(precision: np.ndarray, recall: np.ndarray) -> float:
+    """VOC 2010+ AP: area under the monotone precision envelope."""
+    if len(precision) == 0:
+        return 0.0
+    rec = np.concatenate([[0.0], recall, [1.0]])
+    prec = np.concatenate([[0.0], precision, [0.0]])
+    prec = np.maximum.accumulate(prec[::-1])[::-1]
+    idx = np.where(rec[1:] != rec[:-1])[0]
+    return float(np.sum((rec[idx + 1] - rec[idx]) * prec[idx + 1]))
+
+
+class PascalVocEvaluator:
+    def __init__(
+        self,
+        num_classes: int,
+        matching_iou_threshold: float = 0.5,
+        class_names: Optional[List[str]] = None,
+    ):
+        self.num_classes = num_classes
+        self.iou_thresh = matching_iou_threshold
+        self.class_names = class_names
+        self._scores = [[] for _ in range(num_classes)]
+        self._tp = [[] for _ in range(num_classes)]
+        self._num_gt = np.zeros(num_classes, np.int64)
+        self._images_with_gt = np.zeros(num_classes, np.int64)
+        self._images_correctly_detected = np.zeros(num_classes, np.int64)
+
+    def add_image(self, gt: Dict, det: Dict) -> None:
+        """gt: boxes/classes (+ is_difficult); det: boxes/scores/classes."""
+        gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+        gt_classes = np.asarray(gt["classes"]).reshape(-1)
+        difficult = np.asarray(
+            gt.get("is_difficult", np.zeros(len(gt_boxes), bool))
+        )
+        dt_boxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)
+        dt_scores = np.asarray(det["scores"], np.float64).reshape(-1)
+        dt_classes = np.asarray(det["classes"]).reshape(-1)
+
+        for c in range(self.num_classes):
+            g_sel = gt_classes == c
+            d_sel = dt_classes == c
+            g_boxes = gt_boxes[g_sel]
+            g_diff = difficult[g_sel]
+            self._num_gt[c] += int((~g_diff).sum())
+            if (~g_diff).sum() > 0:
+                self._images_with_gt[c] += 1
+            if not d_sel.any():
+                continue
+            order = np.argsort(-dt_scores[d_sel], kind="stable")
+            d_boxes = dt_boxes[d_sel][order]
+            d_scores = dt_scores[d_sel][order]
+
+            matched = np.zeros(len(g_boxes), bool)
+            image_correct = False
+            for i, db in enumerate(d_boxes):
+                if len(g_boxes):
+                    xx0 = np.maximum(db[0], g_boxes[:, 0])
+                    yy0 = np.maximum(db[1], g_boxes[:, 1])
+                    xx1 = np.minimum(db[2], g_boxes[:, 2])
+                    yy1 = np.minimum(db[3], g_boxes[:, 3])
+                    inter = np.clip(xx1 - xx0, 0, None) * np.clip(yy1 - yy0, 0, None)
+                    a_d = (db[2] - db[0]) * (db[3] - db[1])
+                    a_g = (g_boxes[:, 2] - g_boxes[:, 0]) * (
+                        g_boxes[:, 3] - g_boxes[:, 1]
+                    )
+                    iou = inter / np.maximum(a_d + a_g - inter, 1e-10)
+                    j = int(np.argmax(iou))
+                    if iou[j] >= self.iou_thresh:
+                        if g_diff[j]:
+                            continue  # matched a difficult box: ignore det
+                        if not matched[j]:
+                            matched[j] = True
+                            self._scores[c].append(d_scores[i])
+                            self._tp[c].append(True)
+                            image_correct = True
+                            continue
+                self._scores[c].append(d_scores[i])
+                self._tp[c].append(False)
+            if image_correct:
+                self._images_correctly_detected[c] += 1
+
+    def evaluate(self) -> Dict[str, float]:
+        aps, corlocs = [], []
+        out = {}
+        for c in range(self.num_classes):
+            if self._num_gt[c] == 0:
+                continue
+            scores = np.asarray(self._scores[c])
+            tp = np.asarray(self._tp[c], bool)
+            order = np.argsort(-scores, kind="mergesort")
+            tp = tp[order]
+            cum_tp = np.cumsum(tp)
+            cum_fp = np.cumsum(~tp)
+            recall = cum_tp / self._num_gt[c]
+            precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-10)
+            ap = compute_average_precision(precision, recall)
+            aps.append(ap)
+            if self._images_with_gt[c]:
+                corlocs.append(
+                    self._images_correctly_detected[c] / self._images_with_gt[c]
+                )
+            if self.class_names:
+                out[f"AP-{self.class_names[c]}"] = 100 * ap
+        out["mAP"] = 100 * float(np.mean(aps)) if aps else 0.0
+        out["CorLoc"] = 100 * float(np.mean(corlocs)) if corlocs else 0.0
+        return out

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -185,6 +186,40 @@ class ConvTranspose2D(nn.Module):
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             name="deconv",
         )(x)
+
+
+class DropBlock(nn.Module):
+    """Structured dropout: contiguous block_size x block_size regions are
+    zeroed together (reference lib/layers/dropblock.py:12-79)."""
+
+    keep_prob: float = 0.9
+    block_size: int = 7
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if not train or self.keep_prob >= 1.0:
+            return x
+        b, h, w, c = x.shape
+        bs = min(self.block_size, h, w)
+        # Seed-point rate chosen so the expected dropped fraction matches.
+        gamma = (
+            (1.0 - self.keep_prob)
+            / (bs**2)
+            * (h * w)
+            / max((h - bs + 1) * (w - bs + 1), 1)
+        )
+        rng = self.make_rng("dropout")
+        seeds = jax.random.bernoulli(rng, gamma, (b, h - bs + 1, w - bs + 1, c))
+        pad = [(0, 0), (bs // 2, bs - 1 - bs // 2), (bs // 2, bs - 1 - bs // 2), (0, 0)]
+        seeds = jnp.pad(seeds, pad)
+        block_mask = 1.0 - (
+            jax.lax.reduce_window(
+                seeds.astype(jnp.float32), 0.0, jax.lax.max,
+                (1, bs, bs, 1), (1, 1, 1, 1), "SAME",
+            )
+        )
+        norm = block_mask.size / jnp.maximum(block_mask.sum(), 1.0)
+        return x * block_mask.astype(x.dtype) * norm.astype(x.dtype)
 
 
 def max_pool(x: jnp.ndarray, window: int, stride: int, padding="SAME") -> jnp.ndarray:

@@ -50,6 +50,7 @@ class GeneralizedRCNNModule(nn.Module):
     res5: Optional[nn.Module] = None
     mask_head: Optional[nn.Module] = None
     sem_seg_head: Optional[nn.Module] = None
+    box_head_takes_boxes: bool = False  # RelationBoxHead needs ROI geometry
 
     def compute_features(self, images, train: bool = False):
         return self.neck(self.backbone(images, train=train), train=train)
@@ -57,14 +58,18 @@ class GeneralizedRCNNModule(nn.Module):
     def rpn(self, feature_list, train: bool = False):
         return self.rpn_head(feature_list, train=train)
 
-    def box(self, pooled, stage: int = 0, train: bool = False):
+    def box(self, pooled, stage: int = 0, train: bool = False,
+            boxes=None, boxes_valid=None):
         """Returns (class_logits, deltas, roi_features_or_None)."""
         if self.res5 is not None:
             feats = self.res5(pooled, train=train)
             vec = feats.mean(axis=(1, 2))
             scores, deltas = self.box_predictors[0](vec, train=train)
             return scores, deltas, feats
-        x = self.box_heads[stage](pooled, train=train)
+        if self.box_head_takes_boxes:
+            x = self.box_heads[stage](pooled, boxes, boxes_valid, train=train)
+        else:
+            x = self.box_heads[stage](pooled, train=train)
         scores, deltas = self.box_predictors[stage](x, train=train)
         return scores, deltas, None
 
@@ -89,8 +94,16 @@ class GeneralizedRCNNModule(nn.Module):
                 res5_out = outs[-1][2]
                 outs.append(self.mask(res5_out, train=train))
         else:
+            n_dummy = box_pooled.shape[0] if box_pooled is not None else 0
+            dummy_boxes = jnp.zeros((n_dummy, 1, 4))
+            dummy_valid = jnp.ones((n_dummy, 1), bool)
             for stage in range(len(self.box_heads)):
-                outs.append(self.box(box_pooled, stage=stage, train=train))
+                outs.append(
+                    self.box(
+                        box_pooled, stage=stage, train=train,
+                        boxes=dummy_boxes, boxes_valid=dummy_valid,
+                    )
+                )
             if self.mask_head is not None and mask_pooled is not None:
                 outs.append(self.mask(mask_pooled, train=train))
         if self.sem_seg_head is not None:
@@ -117,7 +130,28 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
     if with_roi:
         roi_name = cfg.MODEL.ROI_HEADS.NAME
         bh = cfg.MODEL.ROI_BOX_HEAD
-        if roi_name == "StandardROIHeads":
+        if roi_name == "RelationROIHeads":
+            from ..roi_heads.relation import RelationBoxHead
+
+            rel = cfg.MODEL.ROI_BOX_RELATION_HEAD
+            roi_driver = StandardROIHeads(cfg, neck_shapes)
+            box_heads = (
+                RelationBoxHead(
+                    fc_dim=bh.FC_DIM,
+                    num_groups=rel.NUM_GROUPS,
+                    key_dim=rel.KEY_DIM,
+                    geometry_dim=rel.GEOMETRY_EMBEDDING_DIM,
+                    dtype=dtype, name="box_head",
+                ),
+            )
+            box_predictors = (
+                FastRCNNOutputLayers(
+                    num_classes=num_classes,
+                    cls_agnostic_bbox_reg=bh.CLS_AGNOSTIC_BBOX_REG,
+                    dtype=dtype, name="box_predictor",
+                ),
+            )
+        elif roi_name == "StandardROIHeads":
             roi_driver = StandardROIHeads(cfg, neck_shapes)
             box_heads = (
                 FastRCNNConvFCHead(
@@ -193,6 +227,9 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
         backbone=backbone, neck=neck, rpn_head=rpn_head,
         box_heads=box_heads, box_predictors=box_predictors, res5=res5,
         mask_head=mask_head, sem_seg_head=sem_seg_head,
+        box_head_takes_boxes=(
+            with_roi and cfg.MODEL.ROI_HEADS.NAME == "RelationROIHeads"
+        ),
     )
     return module, rpn_driver, roi_driver, neck_shapes, dtype
 
@@ -244,13 +281,17 @@ class _RCNNDrivers:
         )
 
     def run_box(self, variables, features, boxes, stage, train, grad_scale=1.0,
-                tape=None):
+                tape=None, boxes_valid=None):
         tape = tape or StatsTape(variables)
         pooled = self.roi.pool_box_features(features, boxes)
         if grad_scale != 1.0:
             pooled = scale_gradient(pooled, grad_scale)
+        kwargs = {}
+        if self.module.box_head_takes_boxes:
+            kwargs = {"boxes": boxes, "boxes_valid": boxes_valid}
         scores, deltas, roi_feats = tape.apply(
-            self.module, variables, pooled, stage=stage, train=train, method="box"
+            self.module, variables, pooled, stage=stage, train=train,
+            method="box", **kwargs,
         )
         return scores.astype(jnp.float32), deltas.astype(jnp.float32), roi_feats
 
@@ -294,7 +335,8 @@ class _RCNNDrivers:
                     valid = sampled.valid  # refined boxes keep slot validity
         else:
             scores, ds, roi_feats = self.run_box(
-                variables, features, sampled.boxes, 0, True, tape=tape
+                variables, features, sampled.boxes, 0, True, tape=tape,
+                boxes_valid=sampled.valid,
             )
             inst_losses.update(self.roi.box_losses(scores, ds, sampled))
 
@@ -350,7 +392,8 @@ class _RCNNDrivers:
             )
         else:
             scores, ds, _ = self.run_box(
-                variables, features, proposals.proposal_boxes, 0, False
+                variables, features, proposals.proposal_boxes, 0, False,
+                boxes_valid=proposals.is_valid,
             )
             detections = self.roi.box_inference(scores, ds, proposals, image_sizes)
 

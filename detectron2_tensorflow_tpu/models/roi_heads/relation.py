@@ -1,0 +1,148 @@
+"""Relation Networks for object detection (Hu et al., CVPR 2018).
+
+Parity targets: /root/reference/lib/modeling/roi_heads/relation_module.py:
+13-193 and relation_network.py:14-90 — ROI-to-ROI attention in the box head
+plus a learned duplicate-removal stage replacing NMS.
+
+All attention is dense [R, R] matmul work over the fixed proposal capacity —
+exactly MXU-shaped; validity masks remove padded slots from the softmax.
+Note: the reference's geometry embedding omits the paper's |Δ| (and has an
+undefined-variable bug at relation_module.py:17); this implementation follows
+the paper: log(max(|Δc|/wh, 1e-3)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def sinusoid_embedding(x: jnp.ndarray, dim: int, wave_length: float = 1000.0):
+    """[-..., F] -> [..., F * dim] sin/cos embedding (dim per feature, even)."""
+    half = dim // 2
+    feat_range = jnp.arange(half, dtype=jnp.float32)
+    dim_mat = wave_length ** (feat_range / half)
+    div = x[..., None] / dim_mat  # [..., F, half]
+    emb = jnp.concatenate([jnp.sin(div), jnp.cos(div)], axis=-1)  # [..., F, dim]
+    return emb.reshape(x.shape[:-1] + (x.shape[-1] * dim,))
+
+
+def geometry_embeddings(boxes: jnp.ndarray, embedding_dim: int = 64) -> jnp.ndarray:
+    """[..., R, 4] xyxy -> [..., R, R, embedding_dim] pairwise geometry."""
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1.0)
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    dx = jnp.log(
+        jnp.maximum(jnp.abs(cx[..., :, None] - cx[..., None, :]) / w[..., :, None], 1e-3)
+    )
+    dy = jnp.log(
+        jnp.maximum(jnp.abs(cy[..., :, None] - cy[..., None, :]) / h[..., :, None], 1e-3)
+    )
+    dw = jnp.log(w[..., None, :] / w[..., :, None])
+    dh = jnp.log(h[..., None, :] / h[..., :, None])
+    feats = jnp.stack([dx, dy, dw, dh], axis=-1)  # [..., R, R, 4]
+    return sinusoid_embedding(100.0 * feats, embedding_dim // 4)
+
+
+class ObjectRelationModule(nn.Module):
+    """Multi-group ROI attention with geometric bias; output added residually."""
+
+    features: int  # appearance feature dim (must be divisible by num_groups)
+    num_groups: int = 16
+    key_dim: int = 64
+    geometry_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, boxes: jnp.ndarray,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: [B, R, D]; boxes: [B, R, 4]; valid: [B, R]. Attention stays
+        within each image. Returns [B, R, D]."""
+        b, r, d = x.shape
+        g = self.num_groups
+        assert d % g == 0
+
+        geo = geometry_embeddings(boxes.astype(jnp.float32), self.geometry_dim)
+        # W_g: geometry -> per-group bias, relu-clamped.
+        wg = nn.Dense(g, dtype=self.dtype, name="geometry_weight")(geo.astype(self.dtype))
+        wg = jnp.maximum(wg, 1e-6)  # [B, R, R, g]
+
+        q = nn.Dense(g * self.key_dim, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(g * self.key_dim, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="value")(x)
+        q = q.reshape(b, r, g, self.key_dim)
+        k = k.reshape(b, r, g, self.key_dim)
+        v = v.reshape(b, r, g, d // g)
+
+        logits = jnp.einsum("bigk,bjgk->bijg", q, k) / jnp.sqrt(float(self.key_dim))
+        logits = logits + jnp.log(wg)
+        if valid is not None:
+            logits = jnp.where(valid[:, None, :, None], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=2)  # over keys j
+        out = jnp.einsum("bijg,bjgc->bigc", attn, v).reshape(b, r, d)
+        out = nn.Dense(d, dtype=self.dtype, name="output")(out)
+        return x + out
+
+
+class RelationBoxHead(nn.Module):
+    """fc -> relation -> fc -> relation (Relation Networks box head)."""
+
+    fc_dim: int = 1024
+    num_groups: int = 16
+    key_dim: int = 64
+    geometry_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, boxes: jnp.ndarray,
+                 valid: Optional[jnp.ndarray] = None, train: bool = False):
+        """x: [B*R, ...] pooled; boxes [B, R, 4]; valid [B, R] -> [B*R, fc]."""
+        b, r = boxes.shape[:2]
+        x = x.reshape(b, r, -1)
+        for i in range(2):
+            x = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc{i + 1}")(x)
+            x = nn.relu(x)
+            x = ObjectRelationModule(
+                features=self.fc_dim, num_groups=self.num_groups,
+                key_dim=self.key_dim, geometry_dim=self.geometry_dim,
+                dtype=self.dtype, name=f"relation{i + 1}",
+            )(x, boxes, valid)
+        return x.reshape(b * r, self.fc_dim)
+
+
+class DuplicateRemovalModule(nn.Module):
+    """Learned NMS: rank-embedded relation attention -> per-ROI keep logit.
+
+    Applied to score-sorted detections; final score = score * sigmoid(logit).
+    """
+
+    features: int = 128
+    num_groups: int = 16
+    key_dim: int = 64
+    geometry_dim: int = 64
+    rank_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, appearance: jnp.ndarray, scores: jnp.ndarray,
+                 boxes: jnp.ndarray, valid: Optional[jnp.ndarray] = None):
+        """appearance [B, R, D], scores [B, R] (sorted desc), boxes
+        [B, R, 4] -> keep logits [B, R]."""
+        b, r = scores.shape
+        ranks = jnp.arange(r, dtype=jnp.float32)[:, None]
+        rank_emb = sinusoid_embedding(ranks, self.rank_dim)  # [R, rank_dim]
+        x = nn.Dense(self.features, dtype=self.dtype, name="appearance_proj")(
+            appearance
+        ) + nn.Dense(self.features, dtype=self.dtype, name="rank_proj")(
+            rank_emb.astype(self.dtype)
+        )[None]
+        x = ObjectRelationModule(
+            features=self.features, num_groups=self.num_groups,
+            key_dim=self.key_dim, geometry_dim=self.geometry_dim,
+            dtype=self.dtype, name="relation",
+        )(x, boxes, valid)
+        return nn.Dense(1, dtype=self.dtype, name="logit")(x)[..., 0]

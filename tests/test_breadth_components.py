@@ -1,0 +1,167 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detectron2_tensorflow_tpu.evaluation import (
+    PanopticEvaluator,
+    PascalVocEvaluator,
+    draw_detections,
+)
+
+
+def test_panoptic_pq_perfect():
+    ev = PanopticEvaluator({1: True, 2: False})
+    gt = np.zeros((32, 32), np.int32)
+    gt[4:16, 4:16] = 1  # thing segment id 1
+    gt[20:30, 4:30] = 2  # stuff segment id 2
+    segs = [
+        {"id": 1, "category_id": 1},
+        {"id": 2, "category_id": 2},
+    ]
+    ev.add_image(gt, segs, gt.copy(), [dict(s) for s in segs])
+    m = ev.evaluate()
+    assert abs(m["PQ"] - 100.0) < 1e-6
+    assert abs(m["PQ_th"] - 100.0) < 1e-6
+    assert abs(m["PQ_st"] - 100.0) < 1e-6
+
+
+def test_panoptic_pq_miss_and_fp():
+    ev = PanopticEvaluator({1: True})
+    gt = np.zeros((16, 16), np.int32)
+    gt[2:10, 2:10] = 1
+    pred = np.zeros((16, 16), np.int32)
+    pred[10:15, 10:15] = 1  # disjoint prediction: FP + FN
+    ev.add_image(
+        gt, [{"id": 1, "category_id": 1}], pred, [{"id": 1, "category_id": 1}]
+    )
+    m = ev.evaluate()
+    assert m["PQ"] == 0.0
+
+
+def test_panoptic_partial_iou():
+    ev = PanopticEvaluator({1: True})
+    gt = np.zeros((16, 16), np.int32)
+    gt[0:8, 0:16] = 1  # area 128
+    pred = np.zeros((16, 16), np.int32)
+    pred[0:6, 0:16] = 1  # inter 96, union 128 -> IoU 0.75
+    ev.add_image(
+        gt, [{"id": 1, "category_id": 1}], pred, [{"id": 1, "category_id": 1}]
+    )
+    m = ev.evaluate()
+    assert abs(m["SQ"] - 75.0) < 1e-4
+    assert abs(m["RQ"] - 100.0) < 1e-4
+    assert abs(m["PQ"] - 75.0) < 1e-4
+
+
+def test_pascal_voc_ap_and_corloc():
+    ev = PascalVocEvaluator(num_classes=2)
+    gt = {
+        "boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]], np.float64),
+        "classes": np.array([0, 1]),
+    }
+    det = {
+        "boxes": np.array([[0, 0, 10, 10], [100, 100, 120, 120]], np.float64),
+        "scores": np.array([0.9, 0.8]),
+        "classes": np.array([0, 1]),  # class 1 det is a miss
+    }
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert abs(m["mAP"] - 50.0) < 1e-4  # class 0 perfect, class 1 zero
+    assert abs(m["CorLoc"] - 50.0) < 1e-4
+
+
+def test_pascal_voc_difficult_ignored():
+    ev = PascalVocEvaluator(num_classes=1)
+    gt = {
+        "boxes": np.array([[0, 0, 10, 10]], np.float64),
+        "classes": np.array([0]),
+        "is_difficult": np.array([True]),
+    }
+    det = {
+        "boxes": np.array([[0, 0, 10, 10]], np.float64),
+        "scores": np.array([0.9]),
+        "classes": np.array([0]),
+    }
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    # No countable GT at all -> no AP entry, mAP 0 by convention.
+    assert m["mAP"] == 0.0
+
+
+def test_draw_detections_runs():
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = draw_detections(
+        img,
+        np.array([[4.0, 4.0, 30.0, 30.0]]),
+        scores=np.array([0.9]),
+        classes=np.array([2]),
+        masks=np.ones((1, 64, 64), bool),
+        class_names=["a", "b", "c"],
+    )
+    assert out.shape == img.shape
+    assert out.sum() > 0  # something was drawn
+
+
+def test_dropblock():
+    from detectron2_tensorflow_tpu.models.layers import DropBlock
+
+    x = jnp.ones((2, 32, 32, 8))
+    m = DropBlock(keep_prob=0.8, block_size=5)
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    out = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    arr = np.asarray(out)
+    assert (arr == 0).any()  # some blocks dropped
+    assert abs(arr.mean() - 1.0) < 0.15  # renormalized expectation
+    # eval mode: identity
+    out_eval = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(x))
+
+
+def test_tfrecords_roundtrip(tmp_path):
+    from detectron2_tensorflow_tpu.data.records import TFRecordDataset, build_records
+    from tests.test_data import SyntheticDataset
+
+    ds = SyntheticDataset(n=4)
+    paths = build_records(ds, str(tmp_path / "train.record"), num_shards=2)
+    assert len(paths) == 2
+    back = TFRecordDataset(str(tmp_path / "train.record-*"))
+    assert len(back) == 4
+    ids = sorted(back[i]["image_id"] for i in range(4))
+    assert ids == [0, 1, 2, 3]
+    s0 = next(back[i] for i in range(4) if back[i]["image_id"] == 0)
+    orig = ds[0]
+    np.testing.assert_allclose(s0["boxes"], orig["boxes"], atol=0.51)
+    np.testing.assert_array_equal(s0["classes"], orig["classes"])
+    assert s0["masks"].shape == orig["masks"].shape
+    # jpeg is lossy (and the synthetic background is per-pixel noise — the
+    # worst case); the constant-colored object interior must survive well.
+    b = orig["boxes"][0].astype(int)
+    inner_err = np.abs(
+        s0["image"][b[1] + 2 : b[3] - 2, b[0] + 2 : b[2] - 2].astype(int)
+        - orig["image"][b[1] + 2 : b[3] - 2, b[0] + 2 : b[2] - 2].astype(int)
+    ).mean()
+    assert inner_err < 12, inner_err
+
+
+def test_relation_module_permutation_consistency():
+    """Attention must be content-based: permuting ROIs permutes outputs."""
+    from detectron2_tensorflow_tpu.models.roi_heads.relation import (
+        ObjectRelationModule,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 6, 32)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, 100, (1, 6, 4)).astype(np.float32))
+    boxes = jnp.concatenate(
+        [jnp.minimum(boxes[..., :2], boxes[..., 2:]),
+         jnp.maximum(boxes[..., :2], boxes[..., 2:])], -1,
+    )
+    m = ObjectRelationModule(features=32, num_groups=4, key_dim=8)
+    v = m.init(jax.random.PRNGKey(0), x, boxes)
+    out = m.apply(v, x, boxes)
+    perm = jnp.array([3, 1, 5, 0, 2, 4])
+    out_p = m.apply(v, x[:, perm], boxes[:, perm])
+    np.testing.assert_allclose(
+        np.asarray(out[:, perm]), np.asarray(out_p), atol=1e-4
+    )
