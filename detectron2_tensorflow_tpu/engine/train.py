@@ -159,6 +159,12 @@ def train(
             ),
         )
 
+    metric_logger = None
+    if checkpoint_dir:
+        from ..utils.profiling import MetricLogger
+
+        metric_logger = MetricLogger(checkpoint_dir)
+
     batch = first
     t_last = time.time()
     for it in range(max_iter):
@@ -176,6 +182,11 @@ def train(
                 {k: round(float(v), 4) for k, v in metrics.items()},
                 dt,
             )
+            if metric_logger is not None:
+                metric_logger.log(
+                    it + 1,
+                    {**{k: float(v) for k, v in metrics.items()}, "sec_per_iter": dt},
+                )
         if ckpt_mgr is not None:
             ckpt_mgr.save(it + 1, args=_ckpt_args(state))
     if ckpt_mgr is not None:

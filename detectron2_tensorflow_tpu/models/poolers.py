@@ -28,7 +28,13 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 
-DEFAULT_PATCH = 48
+# Patch must cover: max ROI extent at the coarsest level (1344/32 = 42 for
+# the standard buckets) + 2 border cells + up to 7 cells of DMA alignment
+# (Mosaic requires the W-axis slice start to be sublane-aligned, i.e. a
+# multiple of 8). 56 = 8 * 7 satisfies all three.
+DEFAULT_PATCH = 56
+_ALIGN = 8  # TPU sublane alignment for the W-axis DMA start
+_EXTENT_MARGIN = 2 + (_ALIGN - 1)  # border + worst-case alignment shift
 
 
 def assign_boxes_to_levels(
@@ -54,7 +60,7 @@ def assign_boxes_to_levels(
     if patch_size > 0:
         max_side = jnp.maximum(w, h)
         extent_lvl = jnp.ceil(
-            jnp.log2(jnp.maximum(max_side / (patch_size - 2), 1e-8))
+            jnp.log2(jnp.maximum(max_side / (patch_size - _EXTENT_MARGIN), 1e-8))
         )
         lvl = jnp.maximum(lvl, extent_lvl)
     lvl = jnp.clip(lvl, min_level, max_level)
@@ -90,10 +96,12 @@ def multilevel_roi_align(
     canonical_box_size: int = 224,
     canonical_level: int = 4,
     patch_size: int = DEFAULT_PATCH,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Pool [N, 4] xyxy boxes from a feature pyramid (list of [Hl, Wl, C]).
 
-    Returns [N, out, out, C] in the features' dtype.
+    Returns [N, out, out, C] in the features' dtype. ``use_pallas=None``
+    selects the fused Pallas kernel on TPU, the XLA path elsewhere.
     """
     assert len(features) == len(strides)
     c = features[0].shape[-1]
@@ -142,8 +150,11 @@ def multilevel_roi_align(
     xs = x0[:, None] + steps[None, :] * roi_w[:, None]
 
     # Patch origin: floor of the first clamped sample, kept inside bounds.
+    # tx additionally rounds DOWN to the sublane alignment so the Pallas
+    # DMA start is tileable (the extra left margin is inside the patch).
     ty = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, None)), 0.0, h_max - p)
     tx = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)), 0.0, w_max - p)
+    tx = jnp.floor(tx / _ALIGN) * _ALIGN
 
     wy = _interp_weights(ys, ty, h_l, p, output_size, sampling_ratio)
     wx = _interp_weights(xs, tx, w_l, p, output_size, sampling_ratio)
@@ -152,6 +163,18 @@ def multilevel_roi_align(
         [levels, ty.astype(jnp.int32), tx.astype(jnp.int32)], axis=1
     )  # [N, 3]
 
+    if use_pallas is None:
+        # The fused kernel runs MXU-native (bf16-multiply) precision; the
+        # f32 parity path keeps the HIGHEST-precision XLA einsums.
+        use_pallas = (
+            jax.default_backend() == "tpu" and features[0].dtype == jnp.bfloat16
+        )
+    if use_pallas:
+        from ..ops.pallas.roi_patch import roi_patch_interpolate
+
+        return roi_patch_interpolate(stacked, starts, wy, wx)
+
+    # XLA fallback (CPU/debug): vmapped patch slices + einsum interpolation.
     def fetch(st):
         sl = jax.lax.dynamic_slice(stacked, (st[0], st[1], st[2], 0), (1, p, p, c))
         return sl[0]

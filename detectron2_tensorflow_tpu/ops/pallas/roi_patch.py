@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: fused ROI patch extraction + bilinear interpolation.
+
+The XLA formulation of patch-based ROIAlign (models/poolers.py) gathers
+[N, P, P, C] patches via vmapped dynamic_slice — XLA serializes those slices
+with high per-slice overhead (~10 ms/img at production shapes). This kernel
+replaces it with the memory system's native operation:
+
+  * grid over ROIs; each step issues ONE strided DMA
+    HBM[level, ty:ty+P, tx:tx+P, :] -> VMEM, double-buffered so the next
+    ROI's patch streams in while the current one computes;
+  * the bilinear interpolation (+ sampling-bin average, folded into the
+    weight matrices by the caller) runs on the MXU in-kernel:
+    out = Wy (S x P) @ patch (P x PC) then contract the second P with Wx;
+  * only the [S, S, C] result is written back — patch bytes never hit HBM
+    twice.
+
+ROI coordinates arrive via scalar prefetch so DMA addresses are known before
+the kernel body runs. The caller quantizes tx to the sublane tiling (8);
+``pl.multiple_of`` asserts it so Mosaic accepts the W-axis HBM slice.
+
+float32 inputs use HIGHEST matmul precision (six-pass) for parity with the
+reference math; bfloat16 (the production serving dtype) uses the MXU native
+pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(precision):
+    def kernel(starts_ref, stacked_ref, wy_ref, wx_ref, out_ref, patch_ref, sem_ref):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def dma_for(idx, slot):
+            lvl = starts_ref[idx, 0]
+            ty = starts_ref[idx, 1]
+            tx = pl.multiple_of(starts_ref[idx, 2], 8)
+            p = patch_ref.shape[1]
+            return pltpu.make_async_copy(
+                stacked_ref.at[lvl, pl.ds(ty, p), pl.ds(tx, p), :],
+                patch_ref.at[slot],
+                sem_ref.at[slot],
+            )
+
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            dma_for(0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            dma_for(i + 1, next_slot).start()
+
+        dma_for(i, slot).wait()
+
+        p = patch_ref.shape[1]
+        c = patch_ref.shape[3]
+        s = wy_ref.shape[1]
+        patch = patch_ref[slot]  # [P, P, C]
+        wy = wy_ref[0]  # [S, P]
+        wx = wx_ref[0]  # [S, P]
+
+        # a[o, q, c] = sum_p wy[o, p] * patch[p, q, c]
+        a = jax.lax.dot_general(
+            wy.astype(patch.dtype),
+            patch.reshape(p, p * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ).reshape(s, p, c)
+        # out[o, u, c] = sum_q wx[u, q] * a[o, q, c] — contract q, batch o.
+        out = jax.lax.dot_general(
+            wx.astype(jnp.float32),
+            a,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [S(u), S(o), C]
+        out = jnp.swapaxes(out, 0, 1)  # [o, u, C]
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def roi_patch_interpolate(
+    stacked: jnp.ndarray,  # [L, Hm, Wm, C] padded pyramid
+    starts: jnp.ndarray,  # [N, 3] int32 (level, ty, tx); tx multiple of 8
+    wy: jnp.ndarray,  # [N, S, P] f32 bin-averaged hat weights
+    wx: jnp.ndarray,  # [N, S, P]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [N, S, S, C] pooled features in stacked's dtype."""
+    n, s, p = wy.shape
+    c = stacked.shape[-1]
+    # HIGHEST (six-pass) inside Mosaic hangs compilation at these shapes;
+    # float32 callers route to the XLA path instead (models/poolers.py), so
+    # this kernel always runs native MXU precision.
+    precision = jax.lax.Precision.DEFAULT
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stacked stays in HBM
+            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, s, c), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, p, p, c), stacked.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel(precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, s, s, c), stacked.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                1.2 * (2 * p * p * c + 2 * s * p + s * s * c)
+                * stacked.dtype.itemsize
+                + 2 * 1024 * 1024
+            ),
+        ),
+        interpret=interpret,
+    )(starts, stacked, wy, wx)
