@@ -57,7 +57,9 @@ def create_train_state(cfg, model: DetectorModel, rng: jax.Array, sample_batch) 
         params=params,
         model_state=variables,
         opt_state=tx.init(params),
-        aux=model.initial_state,
+        # Fresh copies: the model's initial_state template is shared across
+        # states, and the donated train step would otherwise delete it.
+        aux=jax.tree.map(jnp.array, model.initial_state),
         rng=state_rng,
     )
 
