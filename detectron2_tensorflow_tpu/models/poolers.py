@@ -170,9 +170,9 @@ def multilevel_roi_align(
             jax.default_backend() == "tpu" and features[0].dtype == jnp.bfloat16
         )
     if use_pallas:
-        from ..ops.pallas.roi_patch import roi_patch_interpolate
+        from ..ops.pallas.roi_patch import roi_patch_interpolate_diff
 
-        return roi_patch_interpolate(stacked, starts, wy, wx)
+        return roi_patch_interpolate_diff(stacked, starts, wy, wx)
 
     # XLA fallback (CPU/debug): vmapped patch slices + einsum interpolation.
     def fetch(st):

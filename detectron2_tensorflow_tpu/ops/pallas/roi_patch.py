@@ -91,6 +91,71 @@ def _make_kernel(precision):
     return kernel
 
 
+@jax.custom_vjp
+def roi_patch_interpolate_diff(stacked, starts, wy, wx):
+    """Differentiable wrapper: Pallas forward, XLA scatter-add backward.
+
+    Gradients flow to ``stacked`` only (ROI boxes are stop-gradient in the
+    R-CNN training semantics, so wy/wx/starts get zeros).
+    """
+    return roi_patch_interpolate(stacked, starts, wy, wx)
+
+
+def _fwd(stacked, starts, wy, wx):
+    # The zero template carries shape/dtype into bwd (residual leaves must be
+    # JAX types); XLA folds it away.
+    template = jnp.zeros_like(stacked)
+    return roi_patch_interpolate(stacked, starts, wy, wx), (
+        template,
+        starts,
+        wy,
+        wx,
+    )
+
+
+def _bwd(res, g):
+    template, starts, wy, wx = res
+    shape, dtype = template.shape, template.dtype
+    n, s, p = wy.shape
+    c = shape[-1]
+    # Per-ROI patch gradients g_patch[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c]
+    # wx[u,q], scatter-added back into the pyramid. Materializing all N
+    # patches at once costs N*P*P*C floats (12+ GB at production shapes), so
+    # work in fixed chunks inside a scan.
+    chunk = min(128, n)
+    pad = (-n) % chunk
+    gf = jnp.pad(g.astype(jnp.float32), ((0, pad), (0, 0), (0, 0), (0, 0)))
+    wy_p = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+    wx_p = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+    # Padded ROIs scatter zeros at (level 0, 0, 0) — harmless.
+    starts_p = jnp.pad(starts, ((0, pad), (0, 0)))
+    num_chunks = (n + pad) // chunk
+
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+
+    def body(acc, inputs):
+        g_c, wy_c, wx_c, st_c = inputs
+        a = jnp.einsum("nop,nouc->npuc", wy_c, g_c)
+        g_patches = jnp.einsum("nuq,npuc->npqc", wx_c, a)
+        acc = jax.lax.scatter_add(acc, st_c, g_patches, dnums)
+        return acc, None
+
+    resh = lambda x: x.reshape((num_chunks, chunk) + x.shape[1:])  # noqa: E731
+    acc, _ = jax.lax.scan(
+        body,
+        jnp.zeros(shape, jnp.float32),
+        (resh(gf), resh(wy_p), resh(wx_p), resh(starts_p)),
+    )
+    return acc.astype(dtype), None, None, None
+
+
+roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def roi_patch_interpolate(
     stacked: jnp.ndarray,  # [L, Hm, Wm, C] padded pyramid
