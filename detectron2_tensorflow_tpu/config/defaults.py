@@ -156,6 +156,9 @@ _C.DATALOADER.LOAD_SEMANTIC_MASKS = False
 _C.MODEL = CN()
 _C.MODEL.LOAD_PROPOSALS = False
 _C.MODEL.MASK_ON = True
+# Keypoint head: config-only in the reference (defaults.py:510-540, no
+# implementation in its lib/); fully implemented here.
+_C.MODEL.KEYPOINT_ON = False
 _C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
 _C.MODEL.INPUT_FORMAT = "BGR"
 # ImageNet per-channel mean, RGB order (BGR-flipped at preprocess if needed).

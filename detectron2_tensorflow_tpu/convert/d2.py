@@ -224,6 +224,17 @@ def convert_d2_weights(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
                 )
             w.deconv(sd, "roi_heads.mask_head.deconv", ["mask_head", "deconv"])
             w.conv(sd, "roi_heads.mask_head.predictor", ["mask_head", "predictor"])
+        if cfg.MODEL.KEYPOINT_ON:
+            for i in range(len(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS)):
+                w.conv(
+                    sd,
+                    f"roi_heads.keypoint_head.conv_fcn{i + 1}",
+                    ["keypoint_head", f"conv_fcn{i + 1}"],
+                )
+            w.deconv(
+                sd, "roi_heads.keypoint_head.score_lowres",
+                ["keypoint_head", "score_lowres"],
+            )
 
     leftovers = [k for k in sd if "cell_anchors" not in k and "anchor_generator" not in k and "pixel_" not in k]
     out = {"params": w.params, "frozen": w.frozen}

@@ -113,7 +113,7 @@ class CocoDataset:
         image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
         h, w = image.shape[:2]
 
-        boxes, classes, is_crowd, masks = [], [], [], []
+        boxes, classes, is_crowd, masks, keypoints = [], [], [], [], []
         for a in anns:
             x, y, bw, bh = a["bbox"]
             if bw <= 0 or bh <= 0:
@@ -121,6 +121,10 @@ class CocoDataset:
             boxes.append([x, y, x + bw, y + bh])
             classes.append(self.cat_id_to_contiguous[a["category_id"]])
             is_crowd.append(bool(a.get("iscrowd", 0)))
+            if "keypoints" in a:
+                keypoints.append(
+                    np.asarray(a["keypoints"], np.float32).reshape(-1, 3)
+                )
             if self.load_masks:
                 seg = a.get("segmentation")
                 masks.append(
@@ -141,4 +145,6 @@ class CocoDataset:
                 if masks
                 else np.zeros((0, h, w), np.float32)
             )
+        if keypoints and len(keypoints) == len(boxes):
+            sample["keypoints"] = np.stack(keypoints)
         return sample

@@ -67,6 +67,11 @@ def pad_sample_to_batch_arrays(sample: Dict, bucket, max_gt: int, mini_mask: int
         gt_masks = np.zeros((max_gt, mini_mask, mini_mask), np.float32)
         gt_masks[:keep] = sample["masks"][:keep]
         out["gt_masks"] = gt_masks
+    if sample.get("keypoints") is not None:
+        nk = sample["keypoints"].shape[1]
+        gt_kp = np.zeros((max_gt, nk, 3), np.float32)
+        gt_kp[:keep] = sample["keypoints"][:keep]
+        out["gt_keypoints"] = gt_kp
     if sample.get("sem_seg") is not None:
         sem = np.full((bh, bw), -1, np.int32)
         sem[:h, :w] = sample["sem_seg"]
@@ -94,23 +99,54 @@ def build_dataloader(
     mini = cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE
     rng = np.random.default_rng(seed)
 
-    def sample_stream():
-        epoch = 0
+    num_readers = max(1, cfg.DATALOADER.NUM_READERS)
+
+    def index_stream():
         while True:
             order = np.arange(len(dataset))
             if training and cfg.DATALOADER.SHUFFLE:
                 rng.shuffle(order)
             if not training and cfg.DATALOADER.SAMPLE_1_OF_N > 1:
                 order = order[:: cfg.DATALOADER.SAMPLE_1_OF_N]
-            for i in order:
-                raw = dataset[int(i)]
-                orig_size = raw["image"].shape[:2]
-                s, _ = transforms.run(cfg, raw, training, rng)
-                s["original_size"] = orig_size
-                yield s
-            epoch += 1
+            yield from (int(i) for i in order)
             if not training:
                 return
+
+    def load_one(args):
+        i, seed_i = args
+        raw = dataset[i]
+        orig_size = raw["image"].shape[:2]
+        # Per-sample rng keeps augmentation deterministic under parallelism.
+        s, _ = transforms.run(cfg, raw, training, np.random.default_rng(seed_i))
+        s["original_size"] = orig_size
+        return s
+
+    def sample_stream():
+        """Decode+augment on a reader pool (cv2/numpy release the GIL);
+        order preserved (NUM_READERS in-flight)."""
+        import concurrent.futures as cf
+
+        seeds = np.random.default_rng(seed).integers(0, 2**31, size=1 << 20)
+        tagged = (
+            (i, int(seeds[k % len(seeds)]))
+            for k, i in enumerate(index_stream())
+        )
+        if num_readers == 1:
+            for args in tagged:
+                yield load_one(args)
+            return
+        # NOTE: pool.map would eagerly drain the (infinite) index stream;
+        # keep a bounded window of in-flight futures instead.
+        import collections
+
+        with cf.ThreadPoolExecutor(num_readers) as pool:
+            inflight = collections.deque()
+            for args in tagged:
+                inflight.append(pool.submit(load_one, args))
+                if len(inflight) >= 2 * num_readers:
+                    yield inflight.popleft().result()
+            while inflight:
+                yield inflight.popleft().result()
 
     def batch_stream():
         pools: Dict[tuple, List[Dict]] = {}

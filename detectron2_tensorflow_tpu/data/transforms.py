@@ -23,6 +23,10 @@ import numpy as np
 
 # -- geometry -----------------------------------------------------------------
 
+# COCO person-keypoint left/right swap under horizontal flip.
+COCO_KP_FLIP = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
+
+
 def flip_horizontal(sample: Dict) -> Dict:
     h, w = sample["image"].shape[:2]
     out = dict(sample)
@@ -31,6 +35,12 @@ def flip_horizontal(sample: Dict) -> Dict:
         b = sample["boxes"].copy()
         b[:, [0, 2]] = w - b[:, [2, 0]]
         out["boxes"] = b
+    if sample.get("keypoints") is not None and len(sample["keypoints"]):
+        kp = sample["keypoints"].copy()
+        kp[..., 0] = np.where(kp[..., 2] > 0, w - kp[..., 0], kp[..., 0])
+        if kp.shape[1] == len(COCO_KP_FLIP):
+            kp = kp[:, COCO_KP_FLIP]
+        out["keypoints"] = kp
     if sample.get("masks") is not None:
         out["masks"] = sample["masks"][:, :, ::-1]
     if sample.get("sem_seg") is not None:
@@ -94,6 +104,11 @@ def resize_shortest_edge(
         out["boxes"] = sample["boxes"] * np.array(
             [nw / w, nh / h, nw / w, nh / h], np.float32
         )
+    if sample.get("keypoints") is not None and len(sample["keypoints"]):
+        kp = sample["keypoints"].copy()
+        kp[..., 0] *= nw / w
+        kp[..., 1] *= nh / h
+        out["keypoints"] = kp
     if sample.get("masks") is not None and len(sample["masks"]):
         out["masks"] = np.stack(
             [

@@ -55,6 +55,36 @@ def mask_iou_matrix(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.n
     return inter / np.maximum(union, 1e-10)
 
 
+COCO_KP_SIGMAS = np.array([
+    0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+    0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+])
+
+
+def oks_matrix(dt_kp: np.ndarray, gt_kp: np.ndarray, gt_boxes: np.ndarray,
+               iscrowd: np.ndarray, sigmas: Optional[np.ndarray] = None) -> np.ndarray:
+    """[D, G] object keypoint similarity (COCO OKS).
+
+    dt_kp/gt_kp: [N, K, 3] (x, y, vis/score); gt area from gt_boxes.
+    """
+    if len(dt_kp) == 0 or len(gt_kp) == 0:
+        return np.zeros((len(dt_kp), len(gt_kp)), np.float64)
+    sigmas = COCO_KP_SIGMAS if sigmas is None else sigmas
+    var = (2 * sigmas) ** 2
+    areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+    out = np.zeros((len(dt_kp), len(gt_kp)), np.float64)
+    for g in range(len(gt_kp)):
+        vis = gt_kp[g, :, 2] > 0
+        if not vis.any():
+            continue
+        d2 = (dt_kp[:, :, 0] - gt_kp[g, :, 0]) ** 2 + (
+            dt_kp[:, :, 1] - gt_kp[g, :, 1]
+        ) ** 2  # [D, K]
+        e = d2 / var[None, :] / max(areas[g], 1.0) / 2.0
+        out[:, g] = np.exp(-e[:, vis]).mean(axis=1)
+    return out
+
+
 def _match_image(
     dt_scores, ious, gt_ignore, iscrowd, num_thresh
 ):
@@ -98,7 +128,7 @@ class CocoEvaluator:
     def __init__(self, num_classes: int, iou_type: str = "bbox",
                  class_names: Optional[List[str]] = None,
                  per_category: bool = False):
-        assert iou_type in ("bbox", "segm")
+        assert iou_type in ("bbox", "segm", "keypoints")
         self.num_classes = num_classes
         self.iou_type = iou_type
         self.class_names = class_names
@@ -109,6 +139,7 @@ class CocoEvaluator:
     def add_image(self, gt: Dict, det: Dict) -> None:
         """Record one image's ground truth and detections (original res)."""
         use_masks = self.iou_type == "segm"
+        use_kp = self.iou_type == "keypoints"
         gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
         gt_classes = np.asarray(gt["classes"], np.int64).reshape(-1)
         iscrowd = np.asarray(gt.get("is_crowd", np.zeros(len(gt_boxes), bool)), bool)
@@ -133,6 +164,12 @@ class CocoEvaluator:
                 gm = np.asarray(gt["masks"], bool)[gsel] if gsel.any() else np.zeros((0, 1, 1), bool)
                 dm = np.asarray(det["masks"], bool)[dsel][order] if dsel.any() else np.zeros((0, 1, 1), bool)
                 ious = mask_iou_matrix(dm, gm, iscrowd[gsel])
+            elif use_kp:
+                gk = (np.asarray(gt["keypoints"], np.float64)[gsel]
+                      if gsel.any() else np.zeros((0, 17, 3)))
+                dk = (np.asarray(det["keypoints"], np.float64)[dsel][order]
+                      if dsel.any() else np.zeros((0, 17, 3)))
+                ious = oks_matrix(dk, gk, gt_boxes[gsel], iscrowd[gsel])
             else:
                 ious = box_iou_matrix(dt_boxes[dsel][order], gt_boxes[gsel], iscrowd[gsel])
             entry["per_class"][int(c)] = {

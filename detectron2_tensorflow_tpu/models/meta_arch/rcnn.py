@@ -22,7 +22,11 @@ from ..backbones.resnet import ResNetStage, build_resnet_backbone
 from ..necks.fpn import build_neck
 from ..roi_heads.cascade import CascadeROIHeads, scale_gradient
 from ..roi_heads.fast_rcnn import FastRCNNOutputLayers
-from ..roi_heads.heads import FastRCNNConvFCHead, MaskRCNNConvUpsampleHead
+from ..roi_heads.heads import (
+    FastRCNNConvFCHead,
+    KRCNNConvDeconvUpsampleHead,
+    MaskRCNNConvUpsampleHead,
+)
 from ..roi_heads.roi_heads import StandardROIHeads
 from ..rpn import RPN, add_ground_truth_to_proposals
 from ..sem_seg import (
@@ -49,6 +53,7 @@ class GeneralizedRCNNModule(nn.Module):
     box_predictors: Tuple[nn.Module, ...] = ()
     res5: Optional[nn.Module] = None
     mask_head: Optional[nn.Module] = None
+    keypoint_head: Optional[nn.Module] = None
     sem_seg_head: Optional[nn.Module] = None
     box_head_takes_boxes: bool = False  # RelationBoxHead needs ROI geometry
 
@@ -76,6 +81,10 @@ class GeneralizedRCNNModule(nn.Module):
     def mask(self, pooled, train: bool = False):
         assert self.mask_head is not None
         return self.mask_head(pooled, train=train)
+
+    def keypoint(self, pooled, train: bool = False):
+        assert self.keypoint_head is not None
+        return self.keypoint_head(pooled, train=train)
 
     def sem_seg(self, features, train: bool = False):
         assert self.sem_seg_head is not None
@@ -106,6 +115,8 @@ class GeneralizedRCNNModule(nn.Module):
                 )
             if self.mask_head is not None and mask_pooled is not None:
                 outs.append(self.mask(mask_pooled, train=train))
+        if self.keypoint_head is not None and mask_pooled is not None:
+            outs.append(self.keypoint(mask_pooled, train=train))
         if self.sem_seg_head is not None:
             outs.append(self.sem_seg(features, train=train))
         return outs
@@ -126,6 +137,7 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
     box_predictors: Tuple = ()
     res5 = None
     mask_head = None
+    keypoint_head = None
     num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
     if with_roi:
         roi_name = cfg.MODEL.ROI_HEADS.NAME
@@ -218,6 +230,13 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
                 num_conv=mh.NUM_CONV, conv_dim=mh.CONV_DIM, norm=mh.NORM,
                 cls_agnostic=mh.CLS_AGNOSTIC_MASK, dtype=dtype, name="mask_head",
             )
+        if cfg.MODEL.KEYPOINT_ON:
+            kh = cfg.MODEL.ROI_KEYPOINT_HEAD
+            keypoint_head = KRCNNConvDeconvUpsampleHead(
+                num_keypoints=kh.NUM_KEYPOINTS,
+                conv_dims=tuple(kh.CONV_DIMS),
+                dtype=dtype, name="keypoint_head",
+            )
 
     sem_seg_head = None
     if with_sem_seg:
@@ -226,7 +245,8 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
     module = GeneralizedRCNNModule(
         backbone=backbone, neck=neck, rpn_head=rpn_head,
         box_heads=box_heads, box_predictors=box_predictors, res5=res5,
-        mask_head=mask_head, sem_seg_head=sem_seg_head,
+        mask_head=mask_head, keypoint_head=keypoint_head,
+        sem_seg_head=sem_seg_head,
         box_head_takes_boxes=(
             with_roi and cfg.MODEL.ROI_HEADS.NAME == "RelationROIHeads"
         ),
@@ -248,6 +268,11 @@ class _RCNNDrivers:
         self.pixel_std = list(cfg.MODEL.PIXEL_STD)
         self.input_format = cfg.MODEL.INPUT_FORMAT
         self.mask_on = cfg.MODEL.MASK_ON and module.mask_head is not None
+        self.keypoint_on = (
+            cfg.MODEL.KEYPOINT_ON and module.keypoint_head is not None
+        )
+        self.kp_normalize = cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS
+        self.kp_loss_weight = cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT
         self.is_res5 = module.res5 is not None
         self.is_cascade = isinstance(roi_driver, CascadeROIHeads)
         self.num_stages = roi_driver.num_stages if self.is_cascade else 1
@@ -358,6 +383,19 @@ class _RCNNDrivers:
                 mask_logits.astype(jnp.float32), sampled, batch
             )
 
+        if self.keypoint_on:
+            m = self.roi.mask_slots
+            kp_in = self.roi.pool_keypoint_features(
+                features, sampled.boxes[:, :m]
+            )
+            kp_logits = tape.apply(
+                self.module, variables, kp_in, train=True, method="keypoint"
+            )
+            inst_losses["loss_keypoint"] = self.roi.keypoint_loss(
+                kp_logits.astype(jnp.float32), sampled, batch,
+                self.kp_normalize, self.kp_loss_weight,
+            )
+
         if self.with_sem_seg:
             for k, v in inst_losses.items():
                 inst_losses[k] = v * self.instance_loss_weight
@@ -413,6 +451,15 @@ class _RCNNDrivers:
                 mask_logits.astype(jnp.float32), detections
             )
 
+        if self.keypoint_on:
+            kp_in = self.roi.pool_keypoint_features(features, detections.boxes)
+            kp_logits = self.module.apply(
+                variables, kp_in, train=False, method="keypoint"
+            )
+            detections = self.roi.keypoint_inference(
+                kp_logits.astype(jnp.float32), detections
+            )
+
         if self.with_sem_seg:
             sem_logits = self.module.apply(
                 variables, features, train=False, method="sem_seg"
@@ -440,9 +487,10 @@ def _make_model(cfg, with_sem_seg=False) -> DetectorModel:
 
     def init_fn(rng, batch):
         dummy_box = jnp.zeros((1, box_res, box_res, channels), dtype)
+        need_pooled = (cfg.MODEL.MASK_ON and module.res5 is None) or cfg.MODEL.KEYPOINT_ON
         dummy_mask = (
             jnp.zeros((1, mask_res, mask_res, channels), dtype)
-            if (cfg.MODEL.MASK_ON and module.res5 is None)
+            if need_pooled
             else None
         )
         return module.init(rng, drv.prep(batch), dummy_box, dummy_mask, train=False)

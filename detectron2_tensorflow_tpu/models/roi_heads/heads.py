@@ -45,6 +45,35 @@ class FastRCNNConvFCHead(nn.Module):
         return x
 
 
+class KRCNNConvDeconvUpsampleHead(nn.Module):
+    """Keypoint head: 8 convs + deconv 2x + bilinear 2x -> K heatmaps.
+
+    The reference defines only config keys for this head (defaults.py:
+    510-540, no implementation); this follows the upstream Detectron2
+    architecture (conv_fcn1..8, score_lowres deconv, 2x upsample).
+    Input [N, S, S, C] -> [N, 4S, 4S, K] logits.
+    """
+
+    num_keypoints: int = 17
+    conv_dims: tuple = tuple(512 for _ in range(8))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        for i, dim in enumerate(self.conv_dims):
+            x = Conv2D(
+                dim, 3, activation="relu", dtype=self.dtype,
+                name=f"conv_fcn{i + 1}",
+            )(x, train=train)
+        x = ConvTranspose2D(
+            self.num_keypoints, 4, 2, dtype=self.dtype, name="score_lowres"
+        )(x, train=train)
+        b, h, w, k = x.shape
+        import jax
+
+        return jax.image.resize(x, (b, h * 2, w * 2, k), method="bilinear")
+
+
 class MaskRCNNConvUpsampleHead(nn.Module):
     """num_conv 3x3s + 2x deconv + 1x1 per-class mask logits.
 

@@ -66,15 +66,26 @@ class StandardROIHeads:
             bh.POOLER_RESOLUTION, strides, bh.POOLER_SAMPLING_RATIO, bh.POOLER_TYPE
         )
 
-        self.mask_on = cfg.MODEL.MASK_ON
-        if self.mask_on:
-            mh = cfg.MODEL.ROI_MASK_HEAD
-            self.mask_pooler = ROIPooler(
-                mh.POOLER_RESOLUTION, strides, mh.POOLER_SAMPLING_RATIO, mh.POOLER_TYPE
+        self.keypoint_on = cfg.MODEL.KEYPOINT_ON
+        if self.keypoint_on:
+            kh = cfg.MODEL.ROI_KEYPOINT_HEAD
+            self.keypoint_pooler = ROIPooler(
+                kh.POOLER_RESOLUTION, strides, kh.POOLER_SAMPLING_RATIO,
+                kh.POOLER_TYPE,
             )
-            self.cls_agnostic_mask = mh.CLS_AGNOSTIC_MASK
-            # Positive cap = S * positive_fraction; mask branch sees exactly
-            # that many slots (positives are compacted to the front).
+        self.mask_on = cfg.MODEL.MASK_ON
+        if self.mask_on or self.keypoint_on:
+            mh = cfg.MODEL.ROI_MASK_HEAD
+            if self.mask_on:
+                self.mask_pooler = ROIPooler(
+                    mh.POOLER_RESOLUTION, strides, mh.POOLER_SAMPLING_RATIO,
+                    mh.POOLER_TYPE,
+                )
+            if self.mask_on:
+                self.cls_agnostic_mask = mh.CLS_AGNOSTIC_MASK
+            # Positive cap = S * positive_fraction; the mask/keypoint
+            # branches see exactly that many slots (positives are compacted
+            # to the front).
             self.mask_slots = int(
                 self.batch_size_per_image * self.positive_fraction
             )
@@ -139,6 +150,13 @@ class StandardROIHeads:
         feats = [features[f] for f in self.in_features]
         pooled = jax.vmap(
             lambda per_image_feats, b: self.mask_pooler(per_image_feats, b)
+        )([f for f in feats], boxes)
+        return pooled.reshape((-1,) + pooled.shape[2:])
+
+    def pool_keypoint_features(self, features: Dict, boxes: jnp.ndarray) -> jnp.ndarray:
+        feats = [features[f] for f in self.in_features]
+        pooled = jax.vmap(
+            lambda per_image_feats, b: self.keypoint_pooler(per_image_feats, b)
         )([f for f in feats], boxes)
         return pooled.reshape((-1,) + pooled.shape[2:])
 
@@ -222,6 +240,73 @@ class StandardROIHeads:
         num = jnp.sum(ce * fg[:, :, None, None])
         den = jnp.maximum(jnp.sum(fg) * out_size * out_size, 1.0)
         return num / den
+
+    def keypoint_loss(
+        self,
+        kp_logits: jnp.ndarray,  # [B*M, S, S, K]
+        sampled: SampledProposals,
+        gt: Dict,
+        normalize_by_visible: bool = True,
+        loss_weight: float = 1.0,
+    ) -> jnp.ndarray:
+        """Softmax CE over heatmap positions at each visible GT keypoint
+        (upstream keypoint-RCNN loss; head is config-only in the reference)."""
+        m = self.mask_slots
+        b = sampled.gt_classes.shape[0]
+        s = kp_logits.shape[1]
+        k = kp_logits.shape[-1]
+        logits = kp_logits.reshape(b, m, s * s, k)
+        fg = (sampled.is_fg & sampled.valid)[:, :m]  # [B, M]
+
+        kp = jnp.take_along_axis(
+            gt["gt_keypoints"], sampled.matched_idx[:, :m, None, None], axis=1
+        )  # [B, M, K, 3]
+        boxes = sampled.boxes[:, :m]
+        px0, py0 = boxes[..., 0:1], boxes[..., 1:2]
+        pw = jnp.maximum(boxes[..., 2:3] - boxes[..., 0:1], 1e-4)
+        ph = jnp.maximum(boxes[..., 3:4] - boxes[..., 1:2], 1e-4)
+        x_hm = (kp[..., 0] - px0) / pw * s
+        y_hm = (kp[..., 1] - py0) / ph * s
+        xi = jnp.floor(x_hm).astype(jnp.int32)
+        yi = jnp.floor(y_hm).astype(jnp.int32)
+        inside = (xi >= 0) & (xi < s) & (yi >= 0) & (yi < s)
+        visible = (kp[..., 2] > 0) & inside & fg[..., None]  # [B, M, K]
+        target = jnp.clip(yi, 0, s - 1) * s + jnp.clip(xi, 0, s - 1)
+
+        logp = jax.nn.log_softmax(logits, axis=2)  # over positions
+        picked = jnp.take_along_axis(
+            logp, target[:, :, None, :], axis=2
+        )[:, :, 0, :]  # [B, M, K]
+        num_vis = jnp.sum(visible)
+        denom = (
+            jnp.maximum(num_vis, 1.0)
+            if normalize_by_visible
+            else jnp.maximum(jnp.sum(fg) * k, 1.0)
+        )
+        return -loss_weight * jnp.sum(picked * visible) / denom
+
+    def keypoint_inference(
+        self, kp_logits: jnp.ndarray, detections: Instances
+    ) -> Instances:
+        """Heatmap argmax -> image-space (x, y, score) per keypoint."""
+        b, d = detections.pred_classes.shape
+        s = kp_logits.shape[1]
+        k = kp_logits.shape[-1]
+        logits = kp_logits.reshape(b, d, s * s, k)
+        probs = jax.nn.softmax(logits, axis=2)
+        idx = jnp.argmax(probs, axis=2)  # [B, D, K]
+        score = jnp.max(probs, axis=2)
+        yi = (idx // s).astype(jnp.float32) + 0.5
+        xi = (idx % s).astype(jnp.float32) + 0.5
+        boxes = detections.boxes
+        px0, py0 = boxes[..., 0:1], boxes[..., 1:2]
+        pw = boxes[..., 2:3] - boxes[..., 0:1]
+        ph = boxes[..., 3:4] - boxes[..., 1:2]
+        x = px0 + xi / s * pw
+        y = py0 + yi / s * ph
+        return detections.replace(
+            pred_keypoints=jnp.stack([x, y, score], axis=-1)
+        )
 
     # -- inference ------------------------------------------------------------------
     def box_inference(

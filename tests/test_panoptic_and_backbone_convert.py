@@ -93,3 +93,72 @@ def test_caffe2_backbone_convert():
     # absorbed stats: (x - 0) * s / sqrt(1 - eps + eps) + b == x * s + b
     assert fbn["mean"].max() == 0.0
     np.testing.assert_allclose(fbn["var"] + 1e-5, 1.0, atol=1e-7)
+
+
+def test_torchvision_backbone_convert():
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.convert.d2 import apply_converted
+    from detectron2_tensorflow_tpu.convert.torchvision import (
+        convert_torchvision_backbone,
+    )
+    from detectron2_tensorflow_tpu.models.backbones.resnet import (
+        BLOCKS_PER_STAGE,
+        build_resnet_backbone,
+    )
+
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv_bn(conv, bn, cin, cout, k):
+        sd[conv + ".weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32)
+        for suffix, arr in (
+            (".weight", rng.standard_normal(cout)),
+            (".bias", rng.standard_normal(cout)),
+            (".running_mean", rng.standard_normal(cout)),
+            (".running_var", rng.uniform(0.5, 2, cout)),
+        ):
+            sd[bn + suffix] = arr.astype(np.float32)
+
+    conv_bn("conv1", "bn1", 3, 64, 7)
+    cin = 64
+    for layer, nb in enumerate(BLOCKS_PER_STAGE[50], start=1):
+        cmid = 64 * 2 ** (layer - 1)
+        cout = 256 * 2 ** (layer - 1)
+        for b in range(nb):
+            conv_bn(f"layer{layer}.{b}.conv1", f"layer{layer}.{b}.bn1",
+                    cin if b == 0 else cout, cmid, 1)
+            conv_bn(f"layer{layer}.{b}.conv2", f"layer{layer}.{b}.bn2", cmid, cmid, 3)
+            conv_bn(f"layer{layer}.{b}.conv3", f"layer{layer}.{b}.bn3", cmid, cout, 1)
+            if b == 0:
+                conv_bn(f"layer{layer}.{b}.downsample.0",
+                        f"layer{layer}.{b}.downsample.1", cin, cout, 1)
+        cin = cout
+    sd["fc.weight"] = np.zeros((1000, 2048), np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+
+    converted, leftovers = convert_torchvision_backbone(sd)
+    assert leftovers == [], leftovers[:5]
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.RESNETS.STRIDE_IN_1X1 = False
+    module, _ = build_resnet_backbone(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), x)
+    # merge-check against the real model tree (shapes + coverage)
+    merged = apply_converted(
+        {"params": {"backbone": variables["params"]},
+         "frozen": {"backbone": variables["frozen"]}},
+        converted,
+    )
+    n_leaves = len(jax.tree.leaves(converted["params"])) + len(
+        jax.tree.leaves(converted["frozen"])
+    )
+    n_model = len(jax.tree.leaves(variables["params"])) + len(
+        jax.tree.leaves(variables["frozen"])
+    )
+    assert n_leaves == n_model
