@@ -83,6 +83,16 @@ class CocoPanopticDataset:
     def __len__(self) -> int:
         return len(self.entries)
 
+    def get_panoptic_gt(self, idx: int):
+        """(gt_map [H, W] segment ids, segments list, categories {id: is_thing})
+        at original resolution — for PQ evaluation."""
+        img_info, ann = self.entries[idx]
+        pan_png = cv2.imread(
+            os.path.join(self.panoptic_root, ann["file_name"]), cv2.IMREAD_COLOR
+        )
+        pan_png = cv2.cvtColor(pan_png, cv2.COLOR_BGR2RGB)
+        return rgb_to_id(pan_png), ann["segments_info"]
+
     def __getitem__(self, idx: int) -> Dict:
         img_info, ann = self.entries[idx]
         image = cv2.imread(os.path.join(self.image_root, img_info["file_name"]))

@@ -96,6 +96,85 @@ def evaluate(
     return metrics
 
 
+def evaluate_panoptic(
+    cfg,
+    model,
+    variables,
+    dataset,
+    data_iter: Iterable[Dict],
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    """Panoptic-quality evaluation: predict -> fusion -> PQ.
+
+    ``dataset``: CocoPanopticDataset (provides original-resolution GT maps
+    and the thing/stuff category table).
+    """
+    import cv2
+
+    from ..evaluation.panoptic_eval import PanopticEvaluator
+    from ..models.meta_arch.rcnn import panoptic_fusion
+
+    # PQ category table: use contiguous ids with a stuff offset so thing and
+    # stuff ids don't collide (things: 0..T-1 -> ids; stuff: 1..S -> +1000).
+    cat_table = {}
+    for cid in dataset.thing_contiguous.values():
+        cat_table[cid] = True
+    for cid in dataset.stuff_contiguous.values():
+        cat_table[1000 + cid] = False
+    pq = PanopticEvaluator(cat_table)
+
+    predict = jax.jit(model.predict)
+    fuse = jax.jit(lambda o: panoptic_fusion(cfg, o))
+    seen = set()
+    n_done = 0
+    for batch in data_iter:
+        out = predict(variables, batch)
+        pan_maps, infos = jax.device_get(fuse(out))
+        b = batch["image"].shape[0]
+        for i in range(b):
+            image_id = int(batch["image_id"][i])
+            if image_id < 0 or image_id in seen:
+                continue
+            seen.add(image_id)
+            idx = _index_of(dataset, image_id)
+            gt_map, gt_segments = dataset.get_panoptic_gt(idx)
+            oh, ow = gt_map.shape
+            rh, rw = [int(v) for v in batch["image_size"][i]]
+            pred_map = np.asarray(pan_maps[i])[:rh, :rw]
+            pred_map = cv2.resize(
+                pred_map.astype(np.int32), (ow, oh),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            info = {k: np.asarray(v[i]) for k, v in infos.items()}
+            segments = []
+            for sid in range(len(info["valid"])):
+                if not info["valid"][sid]:
+                    continue
+                cat = int(info["category_id"][sid])
+                segments.append({
+                    "id": sid,
+                    "category_id": cat if info["is_thing"][sid] else 1000 + cat,
+                })
+            # GT segments into the same category-id space.
+            gt_segs = []
+            for seg in gt_segments:
+                cid = seg["category_id"]
+                if cid in dataset.thing_contiguous:
+                    cat = dataset.thing_contiguous[cid]
+                else:
+                    cat = 1000 + dataset.stuff_contiguous[cid]
+                gt_segs.append({
+                    "id": seg["id"],
+                    "category_id": cat,
+                    "iscrowd": seg.get("iscrowd", 0),
+                })
+            pq.add_image(gt_map, gt_segs, pred_map, segments)
+            n_done += 1
+        if max_images is not None and n_done >= max_images:
+            break
+    return {f"panoptic/{k}": v for k, v in pq.evaluate().items()}
+
+
 def _index_of(dataset, image_id: int) -> int:
     if not hasattr(dataset, "_id_to_index"):
         dataset._id_to_index = {
