@@ -91,6 +91,81 @@ def _make_kernel(precision):
     return kernel
 
 
+def _bwd_kernel(starts_ref, g_ref, wy_ref, wx_ref, zeros_ref, out_ref,
+                patch_ref, sem_ref):
+    """Backward: per-ROI read-modify-write accumulation into the pyramid.
+
+    out_ref is HBM (aliased to a zeros input); the sequential grid makes the
+    RMW race-free. gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q].
+    """
+    del zeros_ref  # aliased into out_ref; presence zero-initializes it
+    i = pl.program_id(0)
+    lvl = starts_ref[i, 0]
+    ty = starts_ref[i, 1]
+    tx = pl.multiple_of(starts_ref[i, 2], 8)
+    p = patch_ref.shape[0]
+    c = patch_ref.shape[2]
+    s = wy_ref.shape[1]
+
+    region = out_ref.at[lvl, pl.ds(ty, p), pl.ds(tx, p), :]
+    read = pltpu.make_async_copy(region, patch_ref, sem_ref.at[0])
+    read.start()
+
+    g = g_ref[0].astype(jnp.float32)  # [S, S, C]
+    wy = wy_ref[0]  # [S, P]
+    wx = wx_ref[0]
+    # t[p, u, c] = sum_o wy[o, p] * g[o, u, c]
+    t = jax.lax.dot_general(
+        wy, g.reshape(s, s * c),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(p, s, c)
+    # gp[q, p, c] = sum_u wx[u, q] * t[p, u, c]
+    gp = jax.lax.dot_general(
+        wx, t,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Q(P), P, C]
+    gp = jnp.swapaxes(gp, 0, 1)  # [P, Q, C]
+
+    read.wait()
+    patch_ref[...] = patch_ref[...] + gp
+    write = pltpu.make_async_copy(patch_ref, region, sem_ref.at[1])
+    write.start()
+    write.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("out_shape", "interpret"))
+def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
+    """Accumulate per-ROI patch gradients into a fresh f32 pyramid."""
+    n, s, p = wy.shape
+    c = out_shape[-1]
+    zeros = jnp.zeros(out_shape, jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, s, s, c), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # zeros (aliased to out)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((p, p, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        input_output_aliases={4: 0},  # zeros input (after scalar prefetch)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, g.astype(jnp.float32), wy, wx, zeros)
+
+
 @jax.custom_vjp
 def roi_patch_interpolate_diff(stacked, starts, wy, wx):
     """Differentiable wrapper: Pallas forward, XLA scatter-add backward.
@@ -116,40 +191,7 @@ def _fwd(stacked, starts, wy, wx):
 def _bwd(res, g):
     template, starts, wy, wx = res
     shape, dtype = template.shape, template.dtype
-    n, s, p = wy.shape
-    c = shape[-1]
-    # Per-ROI patch gradients g_patch[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c]
-    # wx[u,q], scatter-added back into the pyramid. Materializing all N
-    # patches at once costs N*P*P*C floats (12+ GB at production shapes), so
-    # work in fixed chunks inside a scan.
-    chunk = min(128, n)
-    pad = (-n) % chunk
-    gf = jnp.pad(g.astype(jnp.float32), ((0, pad), (0, 0), (0, 0), (0, 0)))
-    wy_p = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
-    wx_p = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
-    # Padded ROIs scatter zeros at (level 0, 0, 0) — harmless.
-    starts_p = jnp.pad(starts, ((0, pad), (0, 0)))
-    num_chunks = (n + pad) // chunk
-
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3),
-        inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0, 1, 2),
-    )
-
-    def body(acc, inputs):
-        g_c, wy_c, wx_c, st_c = inputs
-        a = jnp.einsum("nop,nouc->npuc", wy_c, g_c)
-        g_patches = jnp.einsum("nuq,npuc->npqc", wx_c, a)
-        acc = jax.lax.scatter_add(acc, st_c, g_patches, dnums)
-        return acc, None
-
-    resh = lambda x: x.reshape((num_chunks, chunk) + x.shape[1:])  # noqa: E731
-    acc, _ = jax.lax.scan(
-        body,
-        jnp.zeros(shape, jnp.float32),
-        (resh(gf), resh(wy_p), resh(wx_p), resh(starts_p)),
-    )
+    acc = roi_patch_backward(g, starts, wy, wx, out_shape=tuple(shape))
     return acc.astype(dtype), None, None, None
 
 

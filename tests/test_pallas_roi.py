@@ -59,3 +59,34 @@ def test_pallas_kernel_matches_xla_path_interpret():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
     )
+
+
+def test_pallas_backward_matches_manual_scatter_interpret():
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import roi_patch_backward
+
+    rng = np.random.default_rng(1)
+    n, s, p, c = 5, 7, 56, 128
+    shape = (2, 64, 64, c)
+    g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
+    wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
+    wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
+    starts = jnp.asarray(
+        np.stack(
+            [
+                rng.integers(0, 2, n),
+                rng.integers(0, 64 - p + 1, n),
+                rng.integers(0, (64 - p) // 8 + 1, n) * 8,
+            ],
+            axis=1,
+        ),
+        jnp.int32,
+    )
+    got = roi_patch_backward(g, starts, wy, wx, out_shape=shape, interpret=True)
+
+    want = np.zeros(shape, np.float32)
+    for i in range(n):
+        a = np.einsum("op,ouc->puc", np.asarray(wy[i]), np.asarray(g[i]))
+        gp = np.einsum("uq,puc->pqc", np.asarray(wx[i]), a)
+        l, ty, tx = [int(v) for v in starts[i]]
+        want[l, ty : ty + p, tx : tx + p] += gp
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
