@@ -39,7 +39,6 @@ def main():
         cfg.merge_from_list(args.opts)
     finalize(cfg, training=False)
 
-    src = args.source or os.path.join(cfg.PRETRAINS.ROOT, cfg.PRETRAINS.DETECTRON2)
     dst = args.output or os.path.join(cfg.PRETRAINS.ROOT, cfg.PRETRAINS.WEIGHTS)
 
     model = build_model(cfg)
@@ -49,8 +48,50 @@ def main():
     }
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
 
-    sd = load_state_dict(src)
-    converted, leftovers = convert_d2_weights(sd, cfg)
+    # Dispatch on the configured source format (reference: one converter per
+    # PRETRAINS key — convert_d2 / convert_backbone / convert_solo /
+    # convert_yolov4).
+    if args.source or cfg.PRETRAINS.DETECTRON2:
+        src = args.source or os.path.join(cfg.PRETRAINS.ROOT, cfg.PRETRAINS.DETECTRON2)
+        sd = load_state_dict(src)
+        converted, leftovers = convert_d2_weights(sd, cfg)
+    elif cfg.PRETRAINS.MMDET:
+        from detectron2_tensorflow_tpu.convert.solo import convert_solo_weights
+
+        src = os.path.join(cfg.PRETRAINS.ROOT, cfg.PRETRAINS.MMDET)
+        converted, leftovers = convert_solo_weights(load_state_dict(src), cfg)
+    elif cfg.PRETRAINS.DARKNET:
+        from detectron2_tensorflow_tpu.convert.darknet import (
+            convert_darknet_weights,
+            read_darknet_blob,
+        )
+
+        src = os.path.join(cfg.PRETRAINS.ROOT, cfg.PRETRAINS.DARKNET)
+        with open(src + ".json") as f:
+            import json
+
+            manifest = json.load(f)
+        converted, consumed = convert_darknet_weights(
+            read_darknet_blob(src), manifest
+        )
+        leftovers = []
+    elif cfg.PRETRAINS.BACKBONE:
+        src = os.path.join(cfg.PRETRAINS.ROOT, cfg.PRETRAINS.BACKBONE)
+        if src.endswith(".pkl"):
+            from detectron2_tensorflow_tpu.convert.backbone import (
+                convert_caffe2_backbone,
+                load_caffe2_pickle,
+            )
+
+            converted, leftovers = convert_caffe2_backbone(load_caffe2_pickle(src))
+        else:
+            from detectron2_tensorflow_tpu.convert.torchvision import (
+                convert_torchvision_backbone,
+            )
+
+            converted, leftovers = convert_torchvision_backbone(load_state_dict(src))
+    else:
+        raise SystemExit("no PRETRAINS source configured")
     if leftovers:
         logging.warning("unconverted keys: %s", leftovers)
     variables = apply_converted(variables, converted)
