@@ -37,6 +37,7 @@ def evaluate(
     num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
     box_eval = CocoEvaluator(num_classes, "bbox")
     mask_eval = None
+    kp_eval = None
 
     gt_by_id = {}
     for img_info, _ in dataset.images:
@@ -84,6 +85,16 @@ def evaluate(
                     "masks", np.zeros((len(raw["boxes"]), oh, ow))
                 ).astype(bool)
                 mask_eval.add_image(gt_m, {**det, "masks": det_masks})
+
+            if "pred_keypoints" in out and "keypoints" in raw:
+                if kp_eval is None:
+                    kp_eval = CocoEvaluator(num_classes, "keypoints")
+                kps = np.asarray(out.pred_keypoints[i])[valid].copy()
+                kps[..., 0] *= sx
+                kps[..., 1] *= sy
+                gt_k = dict(gt)
+                gt_k["keypoints"] = raw["keypoints"]
+                kp_eval.add_image(gt_k, {**det, "keypoints": kps})
             n_done += 1
         if max_images is not None and n_done >= max_images:
             break
@@ -93,6 +104,10 @@ def evaluate(
     metrics = {f"bbox/{k}": v for k, v in box_eval.evaluate().items()}
     if mask_eval is not None:
         metrics.update({f"segm/{k}": v for k, v in mask_eval.evaluate().items()})
+    if kp_eval is not None:
+        metrics.update(
+            {f"keypoints/{k}": v for k, v in kp_eval.evaluate().items()}
+        )
     return metrics
 
 
