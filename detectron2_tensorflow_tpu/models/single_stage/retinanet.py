@@ -204,11 +204,22 @@ class RetinaNet:
             for logit, delta, anchors in zip(
                 per_level_logits, per_level_deltas, level_anchors
             ):
-                scores = jax.nn.sigmoid(logit.reshape(-1))  # [HWA*K]
-                k = min(self.topk_candidates, scores.shape[0])
-                top_scores, top_idx = jax.lax.top_k(scores, k)
-                anchor_idx = top_idx // self.num_classes
-                cls = top_idx % self.num_classes
+                # Exact two-stage top-k: a (pos, class) pair in the global
+                # top-k implies its position ranks in the top-k by
+                # max-over-classes (else k positions would each contribute a
+                # higher pair). Preselecting k positions then re-top-k'ing
+                # their k*K class scores is therefore equivalent to one
+                # top-k over HWA*K — but ~K times cheaper (12M -> 150k
+                # element scans at p3).
+                per_pos = logit.reshape(-1, self.num_classes)  # [HWA, K]
+                k = min(self.topk_candidates, per_pos.shape[0] * self.num_classes)
+                kpos = min(k, per_pos.shape[0])
+                pos_max = jnp.max(per_pos, axis=1)
+                _, pos_idx = jax.lax.top_k(pos_max, kpos)
+                sel = jax.nn.sigmoid(jnp.take(per_pos, pos_idx, axis=0))
+                top_scores, flat_idx = jax.lax.top_k(sel.reshape(-1), k)
+                anchor_idx = jnp.take(pos_idx, flat_idx // self.num_classes)
+                cls = flat_idx % self.num_classes
                 sel_deltas = jnp.take(delta.reshape(-1, 4), anchor_idx, axis=0)
                 sel_anchors = jnp.take(anchors, anchor_idx, axis=0)
                 boxes = self.box2box.apply_deltas(sel_deltas, sel_anchors)
