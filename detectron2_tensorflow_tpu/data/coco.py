@@ -114,6 +114,7 @@ class CocoDataset:
         h, w = image.shape[:2]
 
         boxes, classes, is_crowd, masks, keypoints = [], [], [], [], []
+        areas = []
         for a in anns:
             x, y, bw, bh = a["bbox"]
             if bw <= 0 or bh <= 0:
@@ -121,6 +122,9 @@ class CocoDataset:
             boxes.append([x, y, x + bw, y + bh])
             classes.append(self.cat_id_to_contiguous[a["category_id"]])
             is_crowd.append(bool(a.get("iscrowd", 0)))
+            # COCO annotation segment area — pycocotools keys OKS and the
+            # small/medium/large splits on this, not the box area.
+            areas.append(float(a.get("area", bw * bh)))
             if "keypoints" in a:
                 keypoints.append(
                     np.asarray(a["keypoints"], np.float32).reshape(-1, 3)
@@ -138,6 +142,7 @@ class CocoDataset:
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "classes": np.asarray(classes, np.int32),
             "is_crowd": np.asarray(is_crowd, bool),
+            "areas": np.asarray(areas, np.float32),
         }
         if self.load_masks:
             sample["masks"] = (

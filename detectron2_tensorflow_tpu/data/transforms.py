@@ -56,6 +56,12 @@ def flip_vertical(sample: Dict) -> Dict:
         b = sample["boxes"].copy()
         b[:, [1, 3]] = h - b[:, [3, 1]]
         out["boxes"] = b
+    if sample.get("keypoints") is not None and len(sample["keypoints"]):
+        # Vertical flip has no COCO left/right keypoint swap analogue (the
+        # skeleton is left/right symmetric, not top/bottom); only mirror y.
+        kp = sample["keypoints"].copy()
+        kp[..., 1] = np.where(kp[..., 2] > 0, h - kp[..., 1], kp[..., 1])
+        out["keypoints"] = kp
     if sample.get("masks") is not None:
         out["masks"] = sample["masks"][:, ::-1]
     if sample.get("sem_seg") is not None:
@@ -77,12 +83,25 @@ def rotate90(sample: Dict, k: int = 1) -> Dict:
         out["sem_seg"] = np.ascontiguousarray(np.rot90(sample["sem_seg"], k))
     if len(sample.get("boxes", ())):
         b = sample["boxes"]
+        rh, rw = h, w
         for _ in range(k):
             # CCW 90: point (x, y) -> (y, w - x) in the rotated (w, h) image.
             x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-            b = np.stack([y0, w - x1, y1, w - x0], axis=1)
-            h, w = w, h
+            b = np.stack([y0, rw - x1, y1, rw - x0], axis=1)
+            rh, rw = rw, rh
         out["boxes"] = b.astype(np.float32)
+    if sample.get("keypoints") is not None and len(sample["keypoints"]):
+        kp = sample["keypoints"].copy()
+        rh, rw = h, w
+        for _ in range(k):
+            x = kp[..., 0].copy()
+            kp[..., 0] = kp[..., 1]
+            kp[..., 1] = rw - x
+            rh, rw = rw, rh
+        invis = sample["keypoints"][..., 2] <= 0
+        kp[..., 0] = np.where(invis, sample["keypoints"][..., 0], kp[..., 0])
+        kp[..., 1] = np.where(invis, sample["keypoints"][..., 1], kp[..., 1])
+        out["keypoints"] = kp
     return out
 
 
@@ -258,8 +277,20 @@ def _apply_crop(sample, cx, cy, cw, ch, overlap_thresh):
     out["boxes"] = clipped[keep]
     out["classes"] = sample["classes"][keep]
     out["is_crowd"] = sample["is_crowd"][keep]
+    if sample.get("areas") is not None and len(sample["areas"]) == len(boxes):
+        out["areas"] = sample["areas"][keep]
     if sample.get("masks") is not None and len(sample["masks"]):
         out["masks"] = sample["masks"][keep][:, cy : cy + ch, cx : cx + cw]
+    if sample.get("keypoints") is not None and len(sample["keypoints"]) == len(boxes):
+        kp = sample["keypoints"].copy()
+        kp[..., 0] -= cx
+        kp[..., 1] -= cy
+        inside = (
+            (kp[..., 0] >= 0) & (kp[..., 0] < cw)
+            & (kp[..., 1] >= 0) & (kp[..., 1] < ch)
+        )
+        kp[..., 2] = np.where(inside, kp[..., 2], 0.0)
+        out["keypoints"] = kp[keep]
     return out
 
 

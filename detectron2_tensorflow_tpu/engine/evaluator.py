@@ -34,7 +34,7 @@ def evaluate(
     ``dataset``: the CocoDataset providing original-resolution GT by
     image_id; ``data_iter``: eval batches from build_dataloader.
     """
-    num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    num_classes = num_classes_of(cfg)
     box_eval = CocoEvaluator(num_classes, "bbox")
     mask_eval = None
     kp_eval = None
@@ -71,6 +71,7 @@ def evaluate(
                 "boxes": raw["boxes"],
                 "classes": raw["classes"],
                 "is_crowd": raw["is_crowd"],
+                "areas": raw.get("areas"),
             }
             det = {"boxes": boxes, "scores": scores, "classes": classes}
             box_eval.add_image(gt, det)
@@ -188,6 +189,15 @@ def evaluate_panoptic(
         if max_images is not None and n_done >= max_images:
             break
     return {f"panoptic/{k}": v for k, v in pq.evaluate().items()}
+
+
+def num_classes_of(cfg) -> int:
+    """Detection class count for the configured meta-architecture — single-
+    stage detectors carry it in SINGLE_STAGE_HEAD, R-CNNs in ROI_HEADS
+    (reading ROI_HEADS for a RetinaNet works on COCO only by coincidence)."""
+    if cfg.MODEL.META_ARCHITECTURE == "SingleStageDetector":
+        return cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES
+    return cfg.MODEL.ROI_HEADS.NUM_CLASSES
 
 
 def _index_of(dataset, image_id: int) -> int:

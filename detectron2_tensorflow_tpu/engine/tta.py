@@ -45,6 +45,17 @@ def _resize_batch(batch: Dict, min_size: int, max_size: int, bucket) -> Tuple[Di
     )
 
 
+def flip_content(scaled: Dict) -> Dict:
+    """Horizontally flip only the CONTENT region [:nh, :nw] of a padded
+    batch — reversing the whole padded canvas would move the image into the
+    padding columns while image_size still claims it sits at [0, nw)."""
+    nh, nw = [int(v) for v in scaled["image_size"][0]]
+    img = np.asarray(scaled["image"])
+    flipped = np.zeros_like(img)
+    flipped[0, :nh, :nw] = img[0, :nh, :nw][:, ::-1]
+    return {"image": jnp.asarray(flipped), "image_size": scaled["image_size"]}
+
+
 def tta_predict(cfg, model, variables, batch: Dict) -> Instances:
     """Multi-scale (+flip) single-image inference with NMS merge.
 
@@ -70,21 +81,26 @@ def tta_predict(cfg, model, variables, batch: Dict) -> Instances:
         all_classes.append(np.asarray(det.pred_classes[0]))
         all_valid.append(np.asarray(det.is_valid[0]))
 
-    # Pick one bucket large enough for the biggest TTA scale.
-    bh = max(s for s in aug.MIN_SIZES)
-    bucket = (
-        -(-bh // 32) * 32,
-        -(-min(aug.MAX_SIZE, int(bh * 2)) // 32) * 32,
-    )
+    # Pick one bucket large enough for every TTA scale of THIS image's
+    # aspect ratio (resize_shortest_edge caps the long side at MAX_SIZE, so
+    # a wide image can need width up to MAX_SIZE — a fixed 2*min_size bucket
+    # would overflow). Quantize to 128 so distinct aspect ratios share
+    # compiles.
+    h0, w0 = [int(v) for v in batch["image_size"][0]]
+    need_h = need_w = 32
+    for min_size in aug.MIN_SIZES:
+        scale = min_size / min(h0, w0)
+        if max(h0, w0) * scale > aug.MAX_SIZE:
+            scale = aug.MAX_SIZE / max(h0, w0)
+        need_h = max(need_h, int(round(h0 * scale)))
+        need_w = max(need_w, int(round(w0 * scale)))
+    bucket = (-(-need_h // 128) * 128, -(-need_w // 128) * 128)
     for min_size in aug.MIN_SIZES:
         scaled, (sx, sy) = _resize_batch(batch, min_size, aug.MAX_SIZE, bucket)
         det = predict(variables, scaled)
         add(det, sx, sy, flipped=False, width=0)
         if aug.FLIP:
-            flipped_batch = {
-                "image": scaled["image"][:, :, ::-1],
-                "image_size": scaled["image_size"],
-            }
+            flipped_batch = flip_content(scaled)
             det = predict(variables, flipped_batch)
             # Flip coordinates back in the SCALED frame (true width nw).
             nw = float(scaled["image_size"][0][1])
@@ -110,23 +126,23 @@ def tta_predict(cfg, model, variables, batch: Dict) -> Instances:
     )
 
 
-def precise_bn(model, variables, data_iter: Iterable[Dict], num_iters: int) -> Dict:
+def precise_bn(model, variables, data_iter: Iterable[Dict], num_iters: int,
+               momentum: float = 0.9) -> Dict:
     """Replace BatchNorm running stats with true averages over ``num_iters``
     batches (TEST.PRECISE_BN). No-op for models without batch_stats.
 
-    Runs the feature trunk in train mode (fresh batch moments) and averages
-    the observed statistics — BN layers with momentum m write
-    ``(1-m)*old + m*batch``; we recover the pure batch moments by reading
-    the updated collection with momentum folded out being unnecessary here:
-    averaging the *updated* stats across many batches converges to the true
-    moments regardless of the EMA coefficient when starting from the same
-    base, so we simply average the per-batch updated collections.
+    Runs the feature trunk in train mode and recovers each batch's PURE
+    moments from flax's EMA write ``updated = m*old + (1-m)*batch`` as
+    ``batch = (updated - m*old) / (1-m)``, then averages those across
+    batches (the Rethinking-BN recipe). Averaging the EMA-blended stats
+    directly would keep ~m of the stale running statistics.
     """
     if "batch_stats" not in variables:
         return variables
 
     module = model.module
     method = "compute_features" if hasattr(module, "compute_features") else None
+    old_stats = variables["batch_stats"]
 
     @jax.jit
     def stats_of(images):
@@ -134,7 +150,11 @@ def precise_bn(model, variables, data_iter: Iterable[Dict], num_iters: int) -> D
         _, updated = module.apply(
             variables, images, train=True, mutable=["batch_stats"], **kwargs
         )
-        return updated["batch_stats"]
+        return jax.tree.map(
+            lambda upd, old: (upd - momentum * old) / (1.0 - momentum),
+            updated["batch_stats"],
+            old_stats,
+        )
 
     sums = None
     n = 0

@@ -61,17 +61,19 @@ COCO_KP_SIGMAS = np.array([
 ])
 
 
-def oks_matrix(dt_kp: np.ndarray, gt_kp: np.ndarray, gt_boxes: np.ndarray,
+def oks_matrix(dt_kp: np.ndarray, gt_kp: np.ndarray, gt_areas: np.ndarray,
                iscrowd: np.ndarray, sigmas: Optional[np.ndarray] = None) -> np.ndarray:
     """[D, G] object keypoint similarity (COCO OKS).
 
-    dt_kp/gt_kp: [N, K, 3] (x, y, vis/score); gt area from gt_boxes.
+    dt_kp/gt_kp: [N, K, 3] (x, y, vis/score); ``gt_areas`` is the COCO
+    annotation segment area (pycocotools uses gt['area'], NOT the box area —
+    box area is systematically larger and would inflate OKS).
     """
     if len(dt_kp) == 0 or len(gt_kp) == 0:
         return np.zeros((len(dt_kp), len(gt_kp)), np.float64)
     sigmas = COCO_KP_SIGMAS if sigmas is None else sigmas
     var = (2 * sigmas) ** 2
-    areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+    areas = np.asarray(gt_areas, np.float64)
     out = np.zeros((len(dt_kp), len(gt_kp)), np.float64)
     for g in range(len(gt_kp)):
         vis = gt_kp[g, :, 2] > 0
@@ -147,7 +149,12 @@ class CocoEvaluator:
         dt_scores = np.asarray(det["scores"], np.float64).reshape(-1)
         dt_classes = np.asarray(det["classes"], np.int64).reshape(-1)
 
-        if use_masks:
+        # pycocotools gates area ranges on the annotation segment area
+        # (gt['area']) for every iou type; fall back to mask sum / box area
+        # when the caller didn't supply it.
+        if gt.get("areas") is not None and len(gt["areas"]) == len(gt_boxes):
+            gt_area = np.asarray(gt["areas"], np.float64)
+        elif use_masks:
             gt_area = np.asarray(
                 [m.sum() for m in np.asarray(gt["masks"], bool)], np.float64
             ) if len(gt_boxes) else np.zeros(0)
@@ -169,7 +176,7 @@ class CocoEvaluator:
                       if gsel.any() else np.zeros((0, 17, 3)))
                 dk = (np.asarray(det["keypoints"], np.float64)[dsel][order]
                       if dsel.any() else np.zeros((0, 17, 3)))
-                ious = oks_matrix(dk, gk, gt_boxes[gsel], iscrowd[gsel])
+                ious = oks_matrix(dk, gk, gt_area[gsel], iscrowd[gsel])
             else:
                 ious = box_iou_matrix(dt_boxes[dsel][order], gt_boxes[gsel], iscrowd[gsel])
             entry["per_class"][int(c)] = {

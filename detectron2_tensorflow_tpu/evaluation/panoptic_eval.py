@@ -65,7 +65,9 @@ class PanopticEvaluator:
                 gt_areas[gid]
                 + pred_areas[pid]
                 - i
-                - inter.get((VOID, pid), 0) * 0  # void doesn't shrink union
+                # panopticapi evaluation.py:215: the prediction's overlap
+                # with GT void is excluded from the union.
+                - inter.get((VOID, pid), 0)
             )
             iou = i / max(union, 1)
             if iou > 0.5:

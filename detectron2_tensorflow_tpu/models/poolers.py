@@ -192,6 +192,16 @@ def multilevel_roi_align(
     return out
 
 
+def patch_size_for(max_image_size: int, top_stride: int) -> int:
+    """Smallest aligned patch that covers a full-image-wide ROI at the
+    coarsest level. A box can never be longer than the padded image's long
+    side, so sizing the patch from the configured max image size makes the
+    extent-bound level assignment exact for every legal box (previously a
+    box over (P-9)*top_stride px silently pooled truncated features)."""
+    need = -(-max_image_size // top_stride) + _EXTENT_MARGIN
+    return max(DEFAULT_PATCH, -(-need // _ALIGN) * _ALIGN)
+
+
 class ROIPooler:
     """Config-bound pooler: holds static level/stride/output metadata."""
 
@@ -203,6 +213,7 @@ class ROIPooler:
         pooler_type: str = "ROIAlignV2",
         canonical_box_size: int = 224,
         canonical_level: int = 4,
+        max_image_size: int = 0,
     ):
         assert pooler_type in ("ROIAlignV2", "ROIAlign"), pooler_type
         self.output_size = output_size
@@ -211,6 +222,11 @@ class ROIPooler:
         self.aligned = pooler_type == "ROIAlignV2"
         self.canonical_box_size = canonical_box_size
         self.canonical_level = canonical_level
+        self.patch_size = (
+            patch_size_for(max_image_size, self.strides[-1])
+            if max_image_size
+            else DEFAULT_PATCH
+        )
 
     def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
         """features: per-level [Hl, Wl, C] (single image); boxes [N, 4]."""
@@ -233,4 +249,5 @@ class ROIPooler:
             self.sampling_ratio,
             self.canonical_box_size,
             self.canonical_level,
+            patch_size=self.patch_size,
         )

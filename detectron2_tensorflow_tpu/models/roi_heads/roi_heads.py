@@ -62,8 +62,11 @@ class StandardROIHeads:
         self.box2box = Box2BoxTransform(bh.BBOX_REG_WEIGHTS)
         self.smooth_l1_beta = bh.SMOOTH_L1_BETA
         self.cls_agnostic_bbox_reg = bh.CLS_AGNOSTIC_BBOX_REG
+        max_img = max(cfg.TRANSFORM.RESIZE.MAX_SIZE_TRAIN,
+                      cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST)
         self.box_pooler = ROIPooler(
-            bh.POOLER_RESOLUTION, strides, bh.POOLER_SAMPLING_RATIO, bh.POOLER_TYPE
+            bh.POOLER_RESOLUTION, strides, bh.POOLER_SAMPLING_RATIO, bh.POOLER_TYPE,
+            max_image_size=max_img,
         )
 
         self.keypoint_on = cfg.MODEL.KEYPOINT_ON
@@ -71,7 +74,7 @@ class StandardROIHeads:
             kh = cfg.MODEL.ROI_KEYPOINT_HEAD
             self.keypoint_pooler = ROIPooler(
                 kh.POOLER_RESOLUTION, strides, kh.POOLER_SAMPLING_RATIO,
-                kh.POOLER_TYPE,
+                kh.POOLER_TYPE, max_image_size=max_img,
             )
         self.mask_on = cfg.MODEL.MASK_ON
         if self.mask_on or self.keypoint_on:
@@ -79,7 +82,7 @@ class StandardROIHeads:
             if self.mask_on:
                 self.mask_pooler = ROIPooler(
                     mh.POOLER_RESOLUTION, strides, mh.POOLER_SAMPLING_RATIO,
-                    mh.POOLER_TYPE,
+                    mh.POOLER_TYPE, max_image_size=max_img,
                 )
             if self.mask_on:
                 self.cls_agnostic_mask = mh.CLS_AGNOSTIC_MASK

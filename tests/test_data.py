@@ -157,3 +157,74 @@ def test_coco_polygon_and_rle_decoding():
     m2 = segmentation_to_mask(rle, 12, 12)
     assert m2.sum() == 2
     assert m2[3, 0] == 1 and m2[4, 0] == 1  # rows 3,4 of column 0
+
+
+def _kp_sample(h=40, w=60):
+    img = np.zeros((h, w, 3), np.uint8)
+    boxes = np.array([[10.0, 8.0, 30.0, 28.0]], np.float32)
+    kp = np.zeros((1, 17, 3), np.float32)
+    kp[0, :, 0] = np.linspace(12, 28, 17)
+    kp[0, :, 1] = np.linspace(10, 26, 17)
+    kp[0, :, 2] = 2.0
+    return {
+        "image": img,
+        "boxes": boxes,
+        "classes": np.array([0], np.int32),
+        "is_crowd": np.array([False]),
+        "areas": np.array([400.0], np.float32),
+        "keypoints": kp,
+    }
+
+
+def test_vertical_flip_moves_keypoints():
+    from detectron2_tensorflow_tpu.data.transforms import flip_vertical
+
+    s = _kp_sample()
+    out = flip_vertical(s)
+    h = s["image"].shape[0]
+    np.testing.assert_allclose(out["keypoints"][0, :, 1], h - s["keypoints"][0, :, 1])
+    np.testing.assert_allclose(out["keypoints"][0, :, 0], s["keypoints"][0, :, 0])
+    # keypoints stay inside their transformed box
+    b = out["boxes"][0]
+    assert (out["keypoints"][0, :, 1] >= b[1] - 1e-3).all()
+    assert (out["keypoints"][0, :, 1] <= b[3] + 1e-3).all()
+
+
+def test_rotate90_moves_keypoints_with_boxes():
+    from detectron2_tensorflow_tpu.data.transforms import rotate90
+
+    s = _kp_sample()
+    for k in (1, 2, 3):
+        out = rotate90(s, k)
+        b = out["boxes"][0]
+        kp = out["keypoints"][0]
+        assert (kp[:, 0] >= b[0] - 1e-3).all() and (kp[:, 0] <= b[2] + 1e-3).all()
+        assert (kp[:, 1] >= b[1] - 1e-3).all() and (kp[:, 1] <= b[3] + 1e-3).all()
+        # visibility preserved
+        np.testing.assert_array_equal(kp[:, 2], s["keypoints"][0, :, 2])
+
+
+def test_crop_shifts_and_filters_keypoints():
+    from detectron2_tensorflow_tpu.data.transforms import _apply_crop
+
+    s = _kp_sample()
+    # Crop [5, 5, 35, 35): the box survives; keypoints shift by (-5, -5).
+    out = _apply_crop(s, 5, 5, 35, 30, overlap_thresh=0.3)
+    assert len(out["boxes"]) == 1
+    assert out["keypoints"].shape[0] == 1
+    np.testing.assert_allclose(out["keypoints"][0, :, 0], s["keypoints"][0, :, 0] - 5)
+    np.testing.assert_allclose(out["keypoints"][0, :, 1], s["keypoints"][0, :, 1] - 5)
+    assert len(out["areas"]) == 1
+
+    # Crop that excludes the object entirely: everything filtered together.
+    out2 = _apply_crop(s, 35, 30, 20, 10, overlap_thresh=0.3)
+    assert len(out2["boxes"]) == 0
+    assert out2["keypoints"].shape[0] == 0
+    assert len(out2["areas"]) == 0
+
+    # Keypoints landing outside a partial crop are marked invisible.
+    out3 = _apply_crop(s, 0, 0, 20, 20, overlap_thresh=0.2)
+    if len(out3["boxes"]):
+        kp = out3["keypoints"][0]
+        outside = (s["keypoints"][0, :, 0] >= 20) | (s["keypoints"][0, :, 1] >= 20)
+        assert (kp[outside, 2] == 0).all()

@@ -134,3 +134,49 @@ def test_paste_masks_np_matches_device_version():
     )
     agree = (np_out == dev_out).mean()
     assert agree > 0.995, agree  # border rounding may differ on rare pixels
+
+
+def test_panoptic_pq_void_union_matches_panopticapi():
+    """Golden PQ with a void-overlapping prediction: panopticapi subtracts
+    the prediction's void intersection from the union
+    (reference lib/panopticapi/evaluation.py:215)."""
+    from detectron2_tensorflow_tpu.evaluation.panoptic_eval import PanopticEvaluator
+
+    # 10x20 image: GT segment 1 covers cols 0..9, void covers cols 10..19.
+    gt = np.zeros((10, 20), np.int64)
+    gt[:, :10] = 1
+    # Prediction covers cols 0..14 -> inter(gt)=100, inter(void)=50.
+    pred = np.zeros((10, 20), np.int64)
+    pred[:, :15] = 7
+    ev = PanopticEvaluator({3: True})
+    ev.add_image(
+        gt, [{"id": 1, "category_id": 3}],
+        pred, [{"id": 7, "category_id": 3}],
+    )
+    m = ev.evaluate()
+    # union = 100 + 150 - 100 - 50 (void) = 100 -> IoU = 1.0 -> PQ = 100.
+    assert abs(m["PQ"] - 100.0) < 1e-9
+    assert abs(m["SQ"] - 100.0) < 1e-9
+
+
+def test_coco_eval_area_ranges_use_annotation_area():
+    """A GT whose BOX is large but whose annotation segment area is small
+    must be gated into the 'small' range (pycocotools keys on gt['area'])."""
+    from detectron2_tensorflow_tpu.evaluation import CocoEvaluator
+
+    ev = CocoEvaluator(1, "bbox")
+    gt = {
+        "boxes": np.array([[0.0, 0.0, 100.0, 100.0]]),  # box area 10000
+        "classes": np.array([0]),
+        "is_crowd": np.array([False]),
+        "areas": np.array([100.0]),  # tiny segment
+    }
+    det = {
+        "boxes": np.array([[0.0, 0.0, 100.0, 100.0]]),
+        "scores": np.array([0.9]),
+        "classes": np.array([0]),
+    }
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert m["APs"] > 0  # matched in the small range
+    assert np.isnan(m["APl"]) or m["APl"] <= 0  # no large-range GT

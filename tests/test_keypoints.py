@@ -60,12 +60,20 @@ def test_oks_matrix_values():
     gt_kp[0, :, 0] = 50.0
     gt_kp[0, :, 1] = 50.0
     gt_kp[0, :, 2] = 2
-    gt_boxes = np.array([[0.0, 0.0, 100.0, 100.0]])
+    gt_areas = np.array([10000.0])  # COCO annotation segment area
     # Perfect prediction -> OKS 1; far prediction -> ~0.
     dt = np.stack([gt_kp[0], gt_kp[0] + [300, 300, 0]])
-    oks = oks_matrix(dt, gt_kp, gt_boxes, np.array([False]))
+    oks = oks_matrix(dt, gt_kp, gt_areas, np.array([False]))
     assert abs(oks[0, 0] - 1.0) < 1e-9
     assert oks[1, 0] < 1e-4
+
+    # OKS is keyed on the SEGMENT area: a smaller area must shrink the
+    # similarity of an imperfect prediction (pycocotools uses gt['area'],
+    # not the enclosing-box area).
+    near = gt_kp[0:1] + [3.0, 3.0, 0.0]
+    oks_big = oks_matrix(near, gt_kp, np.array([10000.0]), np.array([False]))
+    oks_small = oks_matrix(near, gt_kp, np.array([2500.0]), np.array([False]))
+    assert oks_small[0, 0] < oks_big[0, 0]
 
 
 def test_keypoint_coco_ap():

@@ -54,6 +54,78 @@ def test_tta_predict_merges_scales():
     assert np.all(np.diff(s) <= 1e-6)
 
 
+def test_flip_content_keeps_padding_zero():
+    from detectron2_tensorflow_tpu.engine.tta import flip_content
+
+    img = np.zeros((1, 8, 16, 3), np.float32)
+    img[0, :4, :6] = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    scaled = {"image": jnp.asarray(img), "image_size": jnp.array([[4, 6]])}
+    out = flip_content(scaled)
+    got = np.asarray(out["image"])
+    # content mirrored in place
+    np.testing.assert_allclose(got[0, :4, :6], img[0, :4, :6][:, ::-1])
+    # padding untouched — the image must NOT move into the padding columns
+    assert got[0, :, 6:].sum() == 0 and got[0, 4:].sum() == 0
+
+
+def test_tta_wide_image_does_not_overflow_bucket():
+    # A wide image resized under MAX_SIZE can need width >> 2*min(MIN_SIZES);
+    # the bucket must grow with the aspect ratio instead of crashing.
+    cfg = _tiny_rcnn_cfg()
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (32,)
+    cfg.TEST.AUG.MAX_SIZE = 256
+    cfg.TEST.AUG.FLIP = False
+    model = build_model(cfg)
+    batch = {
+        "image": jnp.full((1, 32, 256, 3), 90.0),
+        "image_size": jnp.array([[32, 256]]),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = tta_predict(cfg, model, variables, batch)
+    assert out.boxes.shape == (1, 6, 4)
+
+
+def test_precise_bn_recovers_true_moments():
+    """precise_bn must yield the TRUE batch-moment averages, not the
+    EMA-blended stats (which keep ~momentum of the stale values)."""
+    import types
+
+    import flax.linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9
+            )(x)
+
+    mod = Net()
+    x0 = jnp.zeros((4, 8, 8, 3), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x0, train=True)
+    # Poison the running stats so EMA blending is detectable.
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree.map(
+        lambda v: v + 100.0, variables["batch_stats"]
+    )
+
+    rng = np.random.default_rng(1)
+    data = [rng.normal(5.0, 2.0, (4, 8, 8, 3)).astype(np.float32) for _ in range(4)]
+
+    def batches():
+        for d in data:
+            yield {"image": jnp.asarray(d)}
+
+    model = types.SimpleNamespace(module=mod)
+    updated = precise_bn(model, variables, batches(), num_iters=4)
+    got_mean = np.asarray(updated["batch_stats"]["BatchNorm_0"]["mean"])
+    got_var = np.asarray(updated["batch_stats"]["BatchNorm_0"]["var"])
+    want_mean = np.mean([d.mean(axis=(0, 1, 2)) for d in data], axis=0)
+    want_var = np.mean([d.var(axis=(0, 1, 2)) for d in data], axis=0)
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_var, want_var, rtol=1e-3, atol=1e-3)
+
+
 def test_precise_bn_updates_stats():
     cfg = _tiny_rcnn_cfg()
     cfg.MODEL.RESNETS.NORM = "BN"
