@@ -94,8 +94,15 @@ class CfgNode(dict):
         return copy.deepcopy(self)
 
     def merge_from_file(self, cfg_filename: str, allow_unsafe: bool = False) -> None:
-        """Merge a yaml file, resolving ``_BASE_`` inheritance recursively."""
+        """Merge a yaml file, resolving ``_BASE_`` inheritance recursively.
+
+        Upstream-Detectron2 key spellings (MODEL.WEIGHTS, INPUT.MIN_SIZE_*,
+        tuple-valued DATASETS.TRAIN/TEST, DATALOADER.NUM_WORKERS) are
+        rewritten onto this schema first, so D2 model-zoo and
+        quick_schedules YAMLs merge unmodified.
+        """
         loaded = _load_yaml_with_base(cfg_filename)
+        _apply_upstream_aliases(loaded)
         loaded = type(self)(loaded)
         self.merge_from_other_cfg(loaded)
 
@@ -196,6 +203,56 @@ def _load_yaml_with_base(filename: str) -> Dict:
         _merge_dict_a_into_b(cfg, base_cfg)
         return base_cfg
     return cfg
+
+
+def _apply_upstream_aliases(loaded: Dict) -> None:
+    """Rewrite upstream-Detectron2 config keys onto this schema, in place.
+
+    The reference inherits its schema from the TF Object Detection API, but
+    ships D2 quick_schedules YAMLs that use upstream keys its own loader
+    rejects; this shim makes both dialects merge here.
+
+      * MODEL.WEIGHTS -> PRETRAINS.DETECTRON2 (full-model D2 pickle) or
+        PRETRAINS.BACKBONE (ImageNetPretrained pickles); ``detectron2://``
+        URIs keep their path so PRETRAINS.ROOT can point at a local mirror.
+      * INPUT.{MIN,MAX}_SIZE_{TRAIN,TEST} -> TRANSFORM.RESIZE.*
+      * DATASETS.TRAIN/TEST tuples -> DATASETS.TRAIN/VAL strings (first
+        entry; this framework evaluates one dataset per run)
+      * DATALOADER.NUM_WORKERS -> DATALOADER.NUM_READERS
+    """
+    model = loaded.get("MODEL")
+    if isinstance(model, dict) and "WEIGHTS" in model:
+        weights = model.pop("WEIGHTS") or ""
+        if weights:
+            path = weights.split("://", 1)[-1]
+            pre = loaded.setdefault("PRETRAINS", {})
+            if "ImageNetPretrained" in weights:
+                pre.setdefault("BACKBONE", path)
+            else:
+                pre.setdefault("DETECTRON2", path)
+
+    inp = loaded.get("INPUT")
+    if isinstance(inp, dict):
+        moved = {}
+        for k in ("MIN_SIZE_TRAIN", "MAX_SIZE_TRAIN",
+                  "MIN_SIZE_TEST", "MAX_SIZE_TEST"):
+            if k in inp:
+                moved[k] = inp.pop(k)
+        if moved:
+            loaded.setdefault("TRANSFORM", {}).setdefault("RESIZE", {}).update(moved)
+
+    ds = loaded.get("DATASETS")
+    if isinstance(ds, dict):
+        for src, dst in (("TRAIN", "TRAIN"), ("TEST", "VAL")):
+            v = _decode_cfg_value(ds.get(src))  # yaml tuples arrive as strings
+            if isinstance(v, (list, tuple)):
+                ds.pop(src)
+                if v:
+                    ds[dst] = str(v[0])
+
+    dl = loaded.get("DATALOADER")
+    if isinstance(dl, dict) and "NUM_WORKERS" in dl:
+        dl["NUM_READERS"] = dl.pop("NUM_WORKERS")
 
 
 def _merge_dict_a_into_b(a: Dict, b: Dict) -> None:

@@ -56,6 +56,13 @@ _C.DATASETS.ROOT_DIR = ""
 _C.DATASETS.TRAIN = "train"
 _C.DATASETS.VAL = "val"
 _C.DATASETS.CATEGORY_MAP_NAME = "category_map.json"
+# Precomputed proposal files for RPN-less Fast R-CNN training/eval
+# (upstream-D2 DATASETS.PROPOSAL_FILES_*; consumed when MODEL.LOAD_PROPOSALS).
+_C.DATASETS.PROPOSAL_FILES_TRAIN = ()
+_C.DATASETS.PROPOSAL_FILES_TEST = ()
+# Top-k precomputed proposals kept per image (upstream-D2 key names).
+_C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN = 2000
+_C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST = 1000
 
 # ----------------------------------------------------------------------------
 # Evaluation

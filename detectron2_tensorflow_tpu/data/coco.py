@@ -101,6 +101,22 @@ class CocoDataset:
                 continue
             self.images.append((img, anns))
 
+    def set_proposals(self, path: str) -> None:
+        """Attach a Detectron2-format precomputed-proposal file (a pickle of
+        {ids, boxes, objectness_logits}; boxes are absolute XYXY) for the
+        MODEL.LOAD_PROPOSALS / Fast R-CNN path."""
+        import pickle
+
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        self._proposals = {
+            int(i): (np.asarray(b, np.float32).reshape(-1, 4),
+                     np.asarray(s, np.float32).reshape(-1))
+            for i, b, s in zip(
+                data["ids"], data["boxes"], data["objectness_logits"]
+            )
+        }
+
     def __len__(self) -> int:
         return len(self.images)
 
@@ -152,4 +168,11 @@ class CocoDataset:
             )
         if keypoints and len(keypoints) == len(boxes):
             sample["keypoints"] = np.stack(keypoints)
+        props = getattr(self, "_proposals", None)
+        if props is not None:
+            pb, ps = props.get(
+                img_info["id"], (np.zeros((0, 4), np.float32), np.zeros(0, np.float32))
+            )
+            sample["proposals"] = pb
+            sample["proposal_scores"] = ps
         return sample

@@ -76,6 +76,23 @@ def pad_sample_to_batch_arrays(sample: Dict, bucket, max_gt: int, mini_mask: int
         sem = np.full((bh, bw), -1, np.int32)
         sem[:h, :w] = sample["sem_seg"]
         out["gt_sem_seg"] = sem
+    if sample.get("proposals") is not None:
+        # Precomputed proposals (MODEL.LOAD_PROPOSALS): fixed top-k slots.
+        topk = int(sample.get("proposal_topk", 1000))
+        props = np.asarray(sample["proposals"], np.float32).reshape(-1, 4)
+        scores = np.asarray(
+            sample.get("proposal_scores", np.zeros(len(props))), np.float32
+        )
+        order = np.argsort(-scores, kind="stable")[:topk]
+        pb = np.zeros((topk, 4), np.float32)
+        ps = np.full((topk,), -1e10, np.float32)
+        pv = np.zeros((topk,), bool)
+        pb[: len(order)] = props[order]
+        ps[: len(order)] = scores[order]
+        pv[: len(order)] = True
+        out["proposal_boxes"] = pb
+        out["proposal_scores"] = ps
+        out["proposal_valid"] = pv
     return out
 
 
@@ -112,6 +129,12 @@ def build_dataloader(
             if not training:
                 return
 
+    proposal_topk = (
+        cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN
+        if training
+        else cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+    )
+
     def load_one(args):
         i, seed_i = args
         raw = dataset[i]
@@ -119,6 +142,8 @@ def build_dataloader(
         # Per-sample rng keeps augmentation deterministic under parallelism.
         s, _ = transforms.run(cfg, raw, training, np.random.default_rng(seed_i))
         s["original_size"] = orig_size
+        if s.get("proposals") is not None:
+            s["proposal_topk"] = proposal_topk
         return s
 
     def sample_stream():

@@ -52,6 +52,14 @@ def _png_encode(mask: np.ndarray) -> bytes:
     return buf.tobytes()
 
 
+def _png_rgb_encode(rgb: np.ndarray) -> bytes:
+    import cv2
+
+    ok, buf = cv2.imencode(".png", cv2.cvtColor(rgb.astype(np.uint8), cv2.COLOR_RGB2BGR))
+    assert ok
+    return buf.tobytes()
+
+
 def create_example(sample: Dict, image_bytes: bytes):
     """Sample dict (+ pre-encoded image) -> tf.train.Example.
 
@@ -73,10 +81,22 @@ def create_example(sample: Dict, image_bytes: bytes):
         "image/object/class/label": _ints(sample["classes"]),
         "image/object/is_crowd": _ints(np.asarray(sample["is_crowd"], np.int64)),
     }
+    if sample.get("areas") is not None and len(sample["areas"]):
+        feature["image/object/area"] = _floats(sample["areas"])
     if sample.get("masks") is not None and len(sample["masks"]):
         feature["image/object/mask"] = _bytes_list(
             [_png_encode(m) for m in sample["masks"]]
         )
+    if sample.get("sem_seg") is not None:
+        # Panoptic/semantic records: the contiguous-class map stored as an
+        # RGB id-map PNG (reference build_coco_pano.py:113-116 + fields
+        # TfExampleFields.sem_seg = 'image/sem_seg'). The -1 ignore label
+        # maps to the all-255 sentinel (id 16777215) inside the PNG.
+        from .panoptic import id_to_rgb
+
+        sem = np.asarray(sample["sem_seg"], np.int64)
+        sem = np.where(sem < 0, 256**3 - 1, sem)
+        feature["image/sem_seg"] = _bytes(_png_rgb_encode(id_to_rgb(sem)))
     return tf.train.Example(features=tf.train.Features(feature=feature))
 
 
@@ -114,7 +134,9 @@ def build_records(
                     "boxes": s["boxes"],
                     "classes": s["classes"],
                     "is_crowd": s["is_crowd"],
+                    "areas": s.get("areas"),
                     "masks": s.get("masks"),
+                    "sem_seg": s.get("sem_seg"),
                 },
                 buf.tobytes(),
             )
@@ -178,6 +200,10 @@ class TFRecordDataset:
                 f["image/object/is_crowd"].int64_list.value, bool
             ),
         }
+        if len(f["image/object/area"].float_list.value):
+            sample["areas"] = np.asarray(
+                f["image/object/area"].float_list.value, np.float32
+            )
         if self.load_masks:
             masks = [
                 cv2.imdecode(np.frombuffer(m, np.uint8), cv2.IMREAD_GRAYSCALE)
@@ -188,4 +214,15 @@ class TFRecordDataset:
                 if masks
                 else np.zeros((0, h, w), np.float32)
             )
+        if len(f["image/sem_seg"].bytes_list.value):
+            from .panoptic import rgb_to_id
+
+            rgb = cv2.imdecode(
+                np.frombuffer(f["image/sem_seg"].bytes_list.value[0], np.uint8),
+                cv2.IMREAD_COLOR,
+            )
+            ids = rgb_to_id(cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB))
+            sample["sem_seg"] = np.where(
+                ids == 256**3 - 1, -1, ids
+            ).astype(np.int32)
         return sample

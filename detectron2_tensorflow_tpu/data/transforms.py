@@ -35,6 +35,10 @@ def flip_horizontal(sample: Dict) -> Dict:
         b = sample["boxes"].copy()
         b[:, [0, 2]] = w - b[:, [2, 0]]
         out["boxes"] = b
+    if sample.get("proposals") is not None and len(sample["proposals"]):
+        pr = sample["proposals"].copy()
+        pr[:, [0, 2]] = w - pr[:, [2, 0]]
+        out["proposals"] = pr
     if sample.get("keypoints") is not None and len(sample["keypoints"]):
         kp = sample["keypoints"].copy()
         kp[..., 0] = np.where(kp[..., 2] > 0, w - kp[..., 0], kp[..., 0])
@@ -56,6 +60,10 @@ def flip_vertical(sample: Dict) -> Dict:
         b = sample["boxes"].copy()
         b[:, [1, 3]] = h - b[:, [3, 1]]
         out["boxes"] = b
+    if sample.get("proposals") is not None and len(sample["proposals"]):
+        pr = sample["proposals"].copy()
+        pr[:, [1, 3]] = h - pr[:, [3, 1]]
+        out["proposals"] = pr
     if sample.get("keypoints") is not None and len(sample["keypoints"]):
         # Vertical flip has no COCO left/right keypoint swap analogue (the
         # skeleton is left/right symmetric, not top/bottom); only mirror y.
@@ -81,15 +89,17 @@ def rotate90(sample: Dict, k: int = 1) -> Dict:
         out["masks"] = np.ascontiguousarray(np.rot90(sample["masks"], k, axes=(1, 2)))
     if sample.get("sem_seg") is not None:
         out["sem_seg"] = np.ascontiguousarray(np.rot90(sample["sem_seg"], k))
-    if len(sample.get("boxes", ())):
-        b = sample["boxes"]
+    for key in ("boxes", "proposals"):
+        if not len(sample.get(key, ())):
+            continue
+        b = sample[key]
         rh, rw = h, w
         for _ in range(k):
             # CCW 90: point (x, y) -> (y, w - x) in the rotated (w, h) image.
             x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
             b = np.stack([y0, rw - x1, y1, rw - x0], axis=1)
             rh, rw = rw, rh
-        out["boxes"] = b.astype(np.float32)
+        out[key] = b.astype(np.float32)
     if sample.get("keypoints") is not None and len(sample["keypoints"]):
         kp = sample["keypoints"].copy()
         rh, rw = h, w
@@ -121,6 +131,10 @@ def resize_shortest_edge(
     out["image"] = cv2.resize(sample["image"], (nw, nh), interpolation=cv2.INTER_LINEAR)
     if len(sample.get("boxes", ())):
         out["boxes"] = sample["boxes"] * np.array(
+            [nw / w, nh / h, nw / w, nh / h], np.float32
+        )
+    if sample.get("proposals") is not None and len(sample["proposals"]):
+        out["proposals"] = sample["proposals"] * np.array(
             [nw / w, nh / h, nw / w, nh / h], np.float32
         )
     if sample.get("keypoints") is not None and len(sample["keypoints"]):
@@ -281,6 +295,9 @@ def _apply_crop(sample, cx, cy, cw, ch, overlap_thresh):
         out["areas"] = sample["areas"][keep]
     if sample.get("masks") is not None and len(sample["masks"]):
         out["masks"] = sample["masks"][keep][:, cy : cy + ch, cx : cx + cw]
+    if sample.get("proposals") is not None and len(sample["proposals"]):
+        pr = sample["proposals"] - np.array([cx, cy, cx, cy], np.float32)
+        out["proposals"] = np.clip(pr, 0, [cw, ch, cw, ch]).astype(np.float32)
     if sample.get("keypoints") is not None and len(sample["keypoints"]) == len(boxes):
         kp = sample["keypoints"].copy()
         kp[..., 0] -= cx

@@ -20,6 +20,61 @@ from ..evaluation.np_masks import paste_masks
 
 logger = logging.getLogger(__name__)
 
+# EVAL.METRICS vocabulary -> (task, factory). Mirrors the reference's
+# registry (/root/reference/lib/evaluation/evaluation.py:18-35); the
+# keypoint entry is an extension (the reference has no keypoint evaluator).
+_DETECTION_METRICS = {
+    "coco_detection_metrics": ("bbox", lambda n: CocoEvaluator(n, "bbox")),
+    "coco_instance_segmentation_metrics": (
+        "segm", lambda n: CocoEvaluator(n, "segm")),
+    "coco_keypoint_metrics": (
+        "keypoints", lambda n: CocoEvaluator(n, "keypoints")),
+}
+
+
+def _voc_factories(cfg):
+    from ..evaluation.pascal_voc_eval import PascalVocEvaluator
+
+    iou = cfg.EVAL.PASCAL_MATCHING_IOU_THRESH
+    return {
+        "pascal_voc_detection_metrics": (
+            "voc_bbox", lambda n: PascalVocEvaluator(n, iou)),
+        "weighted_pascal_voc_detection_metrics": (
+            "voc_bbox_weighted",
+            lambda n: PascalVocEvaluator(n, iou, weighted=True)),
+        "pascal_voc_instance_segmentation_metrics": (
+            "voc_segm", lambda n: PascalVocEvaluator(n, iou, use_masks=True)),
+        "weighted_pascal_voc_instance_segmentation_metrics": (
+            "voc_segm_weighted",
+            lambda n: PascalVocEvaluator(n, iou, weighted=True, use_masks=True)),
+    }
+
+
+def build_detection_evaluators(cfg):
+    """Instantiate the detection-family evaluators named by ``EVAL.METRICS``.
+
+    Returns {prefix: (evaluator, kind)} where kind is bbox / segm /
+    keypoints (the data each needs from the prediction stream).
+    """
+    num_classes = num_classes_of(cfg)
+    table = dict(_DETECTION_METRICS)
+    table.update(_voc_factories(cfg))
+    out = {}
+    for name in cfg.EVAL.METRICS:
+        if name in ("semantic_segmentation_metrics",
+                    "panoptic_segmentation_metrics"):
+            continue  # routed by run_evaluation, not the detection loop
+        if name not in table:
+            raise ValueError(
+                f"unknown EVAL.METRICS entry '{name}' "
+                f"(known: {sorted(table) + ['semantic_segmentation_metrics', 'panoptic_segmentation_metrics']})"
+            )
+        prefix, factory = table[name]
+        kind = ("segm" if "segm" in prefix or "instance" in name
+                else "keypoints" if "keypoint" in name else "bbox")
+        out[prefix] = (factory(num_classes), kind)
+    return out
+
 
 def evaluate(
     cfg,
@@ -28,24 +83,44 @@ def evaluate(
     dataset,
     data_iter: Iterable[Dict],
     max_images: Optional[int] = None,
+    metric_logger=None,
+    step: int = 0,
 ) -> Dict[str, float]:
-    """Run COCO box (and mask, if produced) evaluation.
+    """Run the detection-family evaluation loop.
+
+    Evaluators come from ``EVAL.METRICS``; with the default config
+    (coco_detection_metrics only), mask and keypoint COCO evaluators are
+    auto-added when the model produces those outputs.
 
     ``dataset``: the CocoDataset providing original-resolution GT by
     image_id; ``data_iter``: eval batches from build_dataloader.
+
+    With a ``metric_logger``, the first EVAL.MAX_EXAMPLE_TO_DRAW images are
+    annotated (boxes/masks/keypoints above MIN_VISUALIZATION_SCORE_THRESH)
+    and written as TensorBoard image summaries (reference
+    evaluation.py:288-297).
     """
     num_classes = num_classes_of(cfg)
-    box_eval = CocoEvaluator(num_classes, "bbox")
-    mask_eval = None
-    kp_eval = None
+    if cfg.MODEL.META_ARCHITECTURE == "ProposalNetwork":
+        # RPN-only model: class-agnostic proposal recall (the D2
+        # 'box_proposals' task) instead of per-class AP.
+        from ..evaluation.coco_eval import ProposalEvaluator
 
-    gt_by_id = {}
-    for img_info, _ in dataset.images:
-        gt_by_id[img_info["id"]] = None  # filled lazily
+        evaluators = {"box_proposals": (ProposalEvaluator(), "bbox")}
+        auto_extend = False
+    else:
+        evaluators = build_detection_evaluators(cfg)
+        auto_extend = tuple(cfg.EVAL.METRICS) == ("coco_detection_metrics",)
 
     predict = jax.jit(model.predict)
     seen = set()
     n_done = 0
+    n_drawn = 0
+    max_draw = cfg.EVAL.MAX_EXAMPLE_TO_DRAW if metric_logger is not None else 0
+    draw_thresh = cfg.EVAL.MIN_VISUALIZATION_SCORE_THRESH
+    class_names = getattr(dataset, "class_names", None) or getattr(
+        dataset, "thing_classes", None
+    )
     for batch in data_iter:
         out = predict(variables, batch)
         out = jax.device_get(out)
@@ -74,40 +149,165 @@ def evaluate(
                 "areas": raw.get("areas"),
             }
             det = {"boxes": boxes, "scores": scores, "classes": classes}
-            box_eval.add_image(gt, det)
 
-            if "pred_masks" in out:
-                if mask_eval is None:
-                    mask_eval = CocoEvaluator(num_classes, "segm")
+            if auto_extend:
+                if "pred_masks" in out and "segm" not in evaluators:
+                    evaluators["segm"] = (CocoEvaluator(num_classes, "segm"), "segm")
+                if ("pred_keypoints" in out and "keypoints" in raw
+                        and "keypoints" not in evaluators):
+                    evaluators["keypoints"] = (
+                        CocoEvaluator(num_classes, "keypoints"), "keypoints")
+
+            det_masks = None
+            if "pred_masks" in out and any(
+                k == "segm" for _, k in evaluators.values()
+            ):
                 soft = np.asarray(out.pred_masks[i])[valid]
                 det_masks = paste_masks(soft, boxes, oh, ow)
-                gt_m = dict(gt)
-                gt_m["masks"] = raw.get(
-                    "masks", np.zeros((len(raw["boxes"]), oh, ow))
-                ).astype(bool)
-                mask_eval.add_image(gt_m, {**det, "masks": det_masks})
+            det_kps = None
+            if "pred_keypoints" in out:
+                det_kps = np.asarray(out.pred_keypoints[i])[valid].copy()
+                det_kps[..., 0] *= sx
+                det_kps[..., 1] *= sy
 
-            if "pred_keypoints" in out and "keypoints" in raw:
-                if kp_eval is None:
-                    kp_eval = CocoEvaluator(num_classes, "keypoints")
-                kps = np.asarray(out.pred_keypoints[i])[valid].copy()
-                kps[..., 0] *= sx
-                kps[..., 1] *= sy
-                gt_k = dict(gt)
-                gt_k["keypoints"] = raw["keypoints"]
-                kp_eval.add_image(gt_k, {**det, "keypoints": kps})
+            for prefix, (ev, kind) in evaluators.items():
+                if kind == "bbox":
+                    ev.add_image(gt, det)
+                elif kind == "segm":
+                    if det_masks is None:
+                        continue
+                    gt_m = dict(gt)
+                    gt_m["masks"] = raw.get(
+                        "masks", np.zeros((len(raw["boxes"]), oh, ow))
+                    ).astype(bool)
+                    ev.add_image(gt_m, {**det, "masks": det_masks})
+                elif kind == "keypoints":
+                    if det_kps is None or "keypoints" not in raw:
+                        continue
+                    gt_k = dict(gt)
+                    gt_k["keypoints"] = raw["keypoints"]
+                    ev.add_image(gt_k, {**det, "keypoints": det_kps})
+
+            if n_drawn < max_draw:
+                from ..evaluation.visualization import draw_eval_image
+
+                annotated = draw_eval_image(
+                    raw["image"],
+                    {**det, "masks": det_masks, "keypoints": det_kps},
+                    class_names,
+                    draw_thresh,
+                )
+                metric_logger.log_image(
+                    step, f"eval/image_{image_id}", annotated
+                )
+                n_drawn += 1
             n_done += 1
         if max_images is not None and n_done >= max_images:
             break
         if n_done and n_done % 100 == 0:
             logger.info("evaluated %d images", n_done)
 
-    metrics = {f"bbox/{k}": v for k, v in box_eval.evaluate().items()}
-    if mask_eval is not None:
-        metrics.update({f"segm/{k}": v for k, v in mask_eval.evaluate().items()})
-    if kp_eval is not None:
+    metrics = {}
+    # Canonical prefixes first (bbox before segm) for stable reporting.
+    for prefix in sorted(evaluators, key=lambda p: (p != "bbox", p)):
+        ev, _ = evaluators[prefix]
+        metrics.update({f"{prefix}/{k}": v for k, v in ev.evaluate().items()})
+    return metrics
+
+
+def evaluate_sem_seg(
+    cfg,
+    model,
+    variables,
+    dataset,
+    data_iter: Iterable[Dict],
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    """Semantic-segmentation evaluation loop: predict -> un-resize (nearest)
+    to the original resolution -> confusion-matrix mIoU/mACC/pACC
+    (reference sem_seg_evaluator.py:9-161 via EVAL.METRICS dispatch).
+
+    ``dataset`` samples must carry an original-resolution ``sem_seg`` map
+    (CocoPanopticDataset provides one).
+    """
+    import cv2
+
+    from ..evaluation.sem_seg_eval import SemSegEvaluator
+
+    ev = SemSegEvaluator(
+        cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        ignore_label=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+    )
+    predict = jax.jit(model.predict)
+    seen = set()
+    n_done = 0
+    for batch in data_iter:
+        out = predict(variables, batch)
+        sem = np.asarray(jax.device_get(out.sem_seg))
+        b = batch["image"].shape[0]
+        for i in range(b):
+            image_id = int(batch["image_id"][i])
+            if image_id < 0 or image_id in seen:
+                continue
+            seen.add(image_id)
+            idx = _index_of(dataset, image_id)
+            raw = dataset[idx]
+            gt_map = raw["sem_seg"]
+            oh, ow = gt_map.shape
+            rh, rw = [int(v) for v in batch["image_size"][i]]
+            # predictions are at the network's output stride; rescale the
+            # content region to the original resolution.
+            ph = int(round(rh * sem.shape[1] / batch["image"].shape[1]))
+            pw = int(round(rw * sem.shape[2] / batch["image"].shape[2]))
+            pred = cv2.resize(
+                sem[i, :ph, :pw].astype(np.int32), (ow, oh),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            ev.add_image(gt_map, pred)
+            n_done += 1
+        if max_images is not None and n_done >= max_images:
+            break
+    return {f"sem_seg/{k}": v for k, v in ev.evaluate().items()}
+
+
+def run_evaluation(
+    cfg,
+    model,
+    variables,
+    dataset,
+    data_iter,
+    max_images: Optional[int] = None,
+    metric_logger=None,
+    step: int = 0,
+) -> Dict[str, float]:
+    """Dispatch on EVAL.METRICS across the three evaluation families
+    (reference evaluation.py:18-35 registry + EvaluationHook routing).
+
+    ``data_iter`` must be re-iterable (a factory callable or a list) when
+    more than one family is requested.
+    """
+    names = tuple(cfg.EVAL.METRICS)
+    families = []
+    if any(n in _DETECTION_METRICS or "pascal" in n for n in names):
+        families.append(evaluate)
+    if "semantic_segmentation_metrics" in names:
+        families.append(evaluate_sem_seg)
+    if "panoptic_segmentation_metrics" in names:
+        families.append(evaluate_panoptic)
+    if not families:
+        raise ValueError(f"EVAL.METRICS selects no evaluator: {names}")
+
+    def fresh_iter():
+        return data_iter() if callable(data_iter) else iter(data_iter)
+
+    metrics = {}
+    for fam in families:
+        kwargs = {}
+        if fam is evaluate:  # image summaries only on the detection loop
+            kwargs = {"metric_logger": metric_logger, "step": step}
         metrics.update(
-            {f"keypoints/{k}": v for k, v in kp_eval.evaluate().items()}
+            fam(cfg, model, variables, dataset, fresh_iter(), max_images,
+                **kwargs)
         )
     return metrics
 
@@ -208,11 +408,16 @@ def _index_of(dataset, image_id: int) -> int:
     return dataset._id_to_index[image_id]
 
 
+# Upstream-D2 EXPECTED_RESULTS task names -> this framework's metric prefixes.
+_TASK_ALIASES = {"panoptic_seg": "panoptic"}
+
+
 def check_expected_results(cfg, metrics: Dict[str, float]) -> List[str]:
     """Consume TEST.EXPECTED_RESULTS ([[task, metric, value, tol], ...]) —
     defined but never consumed in the reference (SURVEY §4); wired here."""
     failures = []
     for task, metric, value, tol in cfg.TEST.EXPECTED_RESULTS:
+        task = _TASK_ALIASES.get(task, task)
         key = f"{task}/{metric}"
         actual = metrics.get(key)
         if actual is None or abs(actual - value) > tol:

@@ -128,11 +128,20 @@ def train(
     max_iter: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     log_every: int = 10,
+    eval_fn: Optional[Callable[[Dict, int], Dict[str, float]]] = None,
 ) -> TrainState:
     """The reference's MonitoredTrainingSession loop, functionally.
 
     ``data_iter`` yields device-ready batch dicts (fixed shapes). Returns the
     final TrainState.
+
+    Startup order matches the reference trainer: if ``checkpoint_dir`` holds
+    a previous run, training RESUMES from its latest step (trainer.py:191-197
+    — preemption recovery); otherwise a configured PRETRAINS source
+    initializes the weights with shape filtering (trainer.py:70-107).
+
+    ``eval_fn(variables, step) -> metrics`` runs every TEST.EVAL_PERIOD
+    steps (and at the end) when provided.
     """
     if mesh is None:
         mesh = create_mesh(cfg.PARALLEL.DATA_AXIS, cfg.PARALLEL.MODEL_AXIS)
@@ -141,8 +150,6 @@ def train(
     rng = jax.random.PRNGKey(max(cfg.SEED, 0))
     first = next(data_iter)
     state = create_train_state(cfg, model, rng, first)
-    state = replicate(mesh, state)
-    step_fn = build_train_step(cfg, model, state.params, mesh)
 
     ckpt_mgr = None
     if checkpoint_dir:
@@ -161,15 +168,67 @@ def train(
             ),
         )
 
+    start_step = 0
+    resume_step = ckpt_mgr.latest_step() if ckpt_mgr is not None else None
+    if resume_step is not None:
+        import orbax.checkpoint as ocp
+
+        template = jax.device_get({
+            "params": state.params,
+            "model_state": state.model_state,
+            "opt_state": state.opt_state,
+            "aux": state.aux,
+            "step": state.step,
+        })
+        restored = ckpt_mgr.restore(
+            resume_step, args=ocp.args.StandardRestore(template)
+        )
+        state = state.replace(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            model_state=restored["model_state"],
+            opt_state=restored["opt_state"],
+            aux=restored["aux"],
+        )
+        start_step = int(restored["step"])
+        logger.info("resumed from checkpoint step %d", start_step)
+    else:
+        from .checkpoint import load_pretrained
+
+        variables = {"params": state.params, **state.model_state}
+        loaded = load_pretrained(cfg, model, variables)
+        if loaded is not variables:
+            loaded = dict(loaded)
+            state = state.replace(
+                params=loaded.pop("params"), model_state=loaded
+            )
+
+    state = replicate(mesh, state)
+    step_fn = build_train_step(cfg, model, state.params, mesh)
+
     metric_logger = None
     if checkpoint_dir:
         from ..utils.profiling import MetricLogger
 
         metric_logger = MetricLogger(checkpoint_dir)
 
+    def run_eval(step):
+        variables = {
+            "params": state.params,
+            **jax.device_get(state.model_state),
+        }
+        eval_metrics = eval_fn(variables, step)
+        logger.info("eval @ %d: %s", step,
+                    {k: round(float(v), 4) for k, v in eval_metrics.items()})
+        if metric_logger is not None:
+            metric_logger.log(
+                step, {f"eval/{k}": float(v) for k, v in eval_metrics.items()}
+            )
+
+    eval_period = cfg.TEST.EVAL_PERIOD if eval_fn is not None else 0
     batch = first
     t_last = time.time()
-    for it in range(max_iter):
+    for it in range(start_step, max_iter):
         state, metrics = step_fn(state, shard_batch(mesh, batch))
         if it + 1 < max_iter:
             batch = next(data_iter)
@@ -191,10 +250,16 @@ def train(
                 )
         if ckpt_mgr is not None:
             ckpt_mgr.save(it + 1, args=_ckpt_args(state))
-    if ckpt_mgr is not None:
-        # Always persist the final state (reference saves at max_iter).
-        ckpt_mgr.save(max_iter, args=_ckpt_args(state), force=True)
+        if eval_period > 0 and (it + 1) % eval_period == 0 and it + 1 < max_iter:
+            run_eval(it + 1)
+    if ckpt_mgr is not None and max_iter > start_step:
+        # Persist the final state (reference saves at max_iter) — unless we
+        # resumed AT max_iter and that step is already on disk.
+        if ckpt_mgr.latest_step() != max_iter:
+            ckpt_mgr.save(max_iter, args=_ckpt_args(state), force=True)
         ckpt_mgr.wait_until_finished()
+    if eval_fn is not None and max_iter > start_step:
+        run_eval(max_iter)
     return state
 
 

@@ -316,3 +316,66 @@ class CocoEvaluator:
             )
             aps.append(float(p.mean()))
         return float(np.mean(aps)) if aps else float("nan")
+
+
+class ProposalEvaluator:
+    """Class-agnostic proposal recall (the D2 'box_proposals' task).
+
+    AR@N = mean over IoU thresholds .5:.95 of the fraction of non-crowd GT
+    boxes covered by the top-N proposals, with the greedy best-overlap
+    assignment Detectron2 uses for its RPN quick_schedules gates
+    (box_proposals AR@1000, e.g. reference
+    configs/quick_schedules/rpn_R_50_FPN_inference_acc_test.yaml:7).
+    """
+
+    def __init__(self, max_dets=(100, 1000)):
+        self.max_dets = tuple(max_dets)
+        self._overlaps: List[np.ndarray] = []
+        self._num_gt = 0
+        self._per_limit = {n: [] for n in self.max_dets}
+
+    def add_image(self, gt: Dict, det: Dict) -> None:
+        gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+        iscrowd = np.asarray(
+            gt.get("is_crowd", np.zeros(len(gt_boxes), bool)), bool
+        )
+        gt_boxes = gt_boxes[~iscrowd]
+        props = np.asarray(det["boxes"], np.float64).reshape(-1, 4)
+        scores = np.asarray(det["scores"], np.float64).reshape(-1)
+        order = np.argsort(-scores, kind="stable")
+        props = props[order]
+        self._num_gt += len(gt_boxes)
+        if len(gt_boxes) == 0:
+            return
+        for n in self.max_dets:
+            top = props[:n]
+            if len(top) == 0:
+                self._per_limit[n].append(np.zeros(len(gt_boxes)))
+                continue
+            ious = box_iou_matrix(top, gt_boxes, np.zeros(len(gt_boxes), bool))
+            # Greedy best-overlap: repeatedly take the global max pair.
+            ov = np.zeros(len(gt_boxes))
+            m = ious.copy()
+            for _ in range(min(len(top), len(gt_boxes))):
+                j = int(np.argmax(m))
+                pi, gi = divmod(j, m.shape[1])
+                if m[pi, gi] <= 0:
+                    break
+                ov[gi] = m[pi, gi]
+                m[pi, :] = -1
+                m[:, gi] = -1
+            self._per_limit[n].append(ov)
+
+    def evaluate(self) -> Dict[str, float]:
+        out = {}
+        for n in self.max_dets:
+            if self._per_limit[n]:
+                ov = np.concatenate(self._per_limit[n])
+            else:
+                ov = np.zeros(0)
+            if len(ov) == 0:
+                out[f"AR@{n}"] = 0.0
+                continue
+            recalls = [(ov >= t).mean() for t in IOU_THRESHS]
+            out[f"AR@{n}"] = 100 * float(np.mean(recalls))
+        return out

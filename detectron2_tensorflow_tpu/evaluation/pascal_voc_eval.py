@@ -25,15 +25,28 @@ def compute_average_precision(precision: np.ndarray, recall: np.ndarray) -> floa
 
 
 class PascalVocEvaluator:
+    """Pascal VOC detection/instance-seg evaluator.
+
+    ``weighted``: pool every class's (score, tp) pairs and compute one
+    corpus-level AP against the total GT count instead of averaging
+    per-class APs (reference pascal_voc_evaluator.py:558-590,
+    use_weighted_mean_ap). ``use_masks``: match by mask IoU instead of box
+    IoU (reference PascalInstanceSegmentationEvaluator).
+    """
+
     def __init__(
         self,
         num_classes: int,
         matching_iou_threshold: float = 0.5,
         class_names: Optional[List[str]] = None,
+        weighted: bool = False,
+        use_masks: bool = False,
     ):
         self.num_classes = num_classes
         self.iou_thresh = matching_iou_threshold
         self.class_names = class_names
+        self.weighted = weighted
+        self.use_masks = use_masks
         self._scores = [[] for _ in range(num_classes)]
         self._tp = [[] for _ in range(num_classes)]
         self._num_gt = np.zeros(num_classes, np.int64)
@@ -50,11 +63,16 @@ class PascalVocEvaluator:
         dt_boxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)
         dt_scores = np.asarray(det["scores"], np.float64).reshape(-1)
         dt_classes = np.asarray(det["classes"]).reshape(-1)
+        gt_masks = dt_masks = None
+        if self.use_masks:
+            gt_masks = np.asarray(gt["masks"], bool)
+            dt_masks = np.asarray(det["masks"], bool)
 
         for c in range(self.num_classes):
             g_sel = gt_classes == c
             d_sel = dt_classes == c
             g_boxes = gt_boxes[g_sel]
+            g_masks = gt_masks[g_sel] if self.use_masks else None
             g_diff = difficult[g_sel]
             self._num_gt[c] += int((~g_diff).sum())
             if (~g_diff).sum() > 0:
@@ -63,22 +81,30 @@ class PascalVocEvaluator:
                 continue
             order = np.argsort(-dt_scores[d_sel], kind="stable")
             d_boxes = dt_boxes[d_sel][order]
+            d_masks = dt_masks[d_sel][order] if self.use_masks else None
             d_scores = dt_scores[d_sel][order]
 
             matched = np.zeros(len(g_boxes), bool)
             image_correct = False
             for i, db in enumerate(d_boxes):
                 if len(g_boxes):
-                    xx0 = np.maximum(db[0], g_boxes[:, 0])
-                    yy0 = np.maximum(db[1], g_boxes[:, 1])
-                    xx1 = np.minimum(db[2], g_boxes[:, 2])
-                    yy1 = np.minimum(db[3], g_boxes[:, 3])
-                    inter = np.clip(xx1 - xx0, 0, None) * np.clip(yy1 - yy0, 0, None)
-                    a_d = (db[2] - db[0]) * (db[3] - db[1])
-                    a_g = (g_boxes[:, 2] - g_boxes[:, 0]) * (
-                        g_boxes[:, 3] - g_boxes[:, 1]
-                    )
-                    iou = inter / np.maximum(a_d + a_g - inter, 1e-10)
+                    if self.use_masks:
+                        dm = d_masks[i].reshape(-1).astype(np.float64)
+                        gm = g_masks.reshape(len(g_masks), -1).astype(np.float64)
+                        inter = gm @ dm
+                        union = gm.sum(1) + dm.sum() - inter
+                        iou = inter / np.maximum(union, 1e-10)
+                    else:
+                        xx0 = np.maximum(db[0], g_boxes[:, 0])
+                        yy0 = np.maximum(db[1], g_boxes[:, 1])
+                        xx1 = np.minimum(db[2], g_boxes[:, 2])
+                        yy1 = np.minimum(db[3], g_boxes[:, 3])
+                        inter = np.clip(xx1 - xx0, 0, None) * np.clip(yy1 - yy0, 0, None)
+                        a_d = (db[2] - db[0]) * (db[3] - db[1])
+                        a_g = (g_boxes[:, 2] - g_boxes[:, 0]) * (
+                            g_boxes[:, 3] - g_boxes[:, 1]
+                        )
+                        iou = inter / np.maximum(a_d + a_g - inter, 1e-10)
                     j = int(np.argmax(iou))
                     if iou[j] >= self.iou_thresh:
                         if g_diff[j]:
@@ -96,12 +122,16 @@ class PascalVocEvaluator:
 
     def evaluate(self) -> Dict[str, float]:
         aps, corlocs = [], []
+        all_scores, all_tp = [], []
         out = {}
         for c in range(self.num_classes):
             if self._num_gt[c] == 0:
                 continue
             scores = np.asarray(self._scores[c])
             tp = np.asarray(self._tp[c], bool)
+            if self.weighted:
+                all_scores.append(scores)
+                all_tp.append(tp)
             order = np.argsort(-scores, kind="mergesort")
             tp = tp[order]
             cum_tp = np.cumsum(tp)
@@ -116,6 +146,20 @@ class PascalVocEvaluator:
                 )
             if self.class_names:
                 out[f"AP-{self.class_names[c]}"] = 100 * ap
-        out["mAP"] = 100 * float(np.mean(aps)) if aps else 0.0
+        if self.weighted:
+            # Corpus-level AP: pool every class's detections against the
+            # total GT count (reference use_weighted_mean_ap).
+            scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+            tp = np.concatenate(all_tp) if all_tp else np.zeros(0, bool)
+            order = np.argsort(-scores, kind="mergesort")
+            tp = tp[order]
+            cum_tp = np.cumsum(tp)
+            cum_fp = np.cumsum(~tp)
+            n_gt = max(int(self._num_gt.sum()), 1)
+            recall = cum_tp / n_gt
+            precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-10)
+            out["mAP"] = 100 * compute_average_precision(precision, recall)
+        else:
+            out["mAP"] = 100 * float(np.mean(aps)) if aps else 0.0
         out["CorLoc"] = 100 * float(np.mean(corlocs)) if corlocs else 0.0
         return out

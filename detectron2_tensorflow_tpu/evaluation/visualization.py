@@ -74,3 +74,124 @@ def draw_sem_seg(
     return (image.astype(np.float32) * (1 - alpha) + color_map * alpha).astype(
         np.uint8
     )
+
+
+# COCO person-keypoint skeleton (pairs of keypoint indices).
+COCO_KP_SKELETON = [
+    (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
+    (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
+    (1, 3), (2, 4), (3, 5), (4, 6),
+]
+
+
+def draw_keypoints(
+    image: np.ndarray,
+    keypoints: np.ndarray,
+    scores: Optional[np.ndarray] = None,
+    score_thresh: float = 0.5,
+    skeleton: Optional[Sequence[tuple]] = None,
+    radius: int = 3,
+) -> np.ndarray:
+    """Draw [N, K, 3] (x, y, vis/score) keypoints + skeleton edges
+    (reference visualization.py keypoint path)."""
+    out = image.copy()
+    skeleton = COCO_KP_SKELETON if skeleton is None else skeleton
+    colors = _palette(len(keypoints) or 1)
+    for i, kps in enumerate(keypoints):
+        if scores is not None and float(scores[i]) < score_thresh:
+            continue
+        color = colors[i % len(colors)]
+        vis = kps[:, 2] > 0
+        for k in range(len(kps)):
+            if vis[k]:
+                cv2.circle(
+                    out, (int(kps[k, 0]), int(kps[k, 1])), radius, color, -1,
+                    cv2.LINE_AA,
+                )
+        for a, b in skeleton:
+            if a < len(kps) and b < len(kps) and vis[a] and vis[b]:
+                cv2.line(
+                    out,
+                    (int(kps[a, 0]), int(kps[a, 1])),
+                    (int(kps[b, 0]), int(kps[b, 1])),
+                    color, 1, cv2.LINE_AA,
+                )
+    return out
+
+
+def draw_panoptic(
+    image: np.ndarray,
+    panoptic_map: np.ndarray,
+    segments: Sequence[Dict],
+    class_names: Optional[Sequence[str]] = None,
+    alpha: float = 0.55,
+) -> np.ndarray:
+    """Overlay a panoptic segment-id map; each segment gets its own color,
+    labeled at its centroid (reference visualization.py:62-241 panoptic
+    drawing). ``segments``: dicts with ``id``, ``category_id``,
+    (optional ``isthing``)."""
+    out = image.copy()
+    pan = panoptic_map
+    if pan.shape != image.shape[:2]:
+        pan = cv2.resize(
+            pan.astype(np.int32), (image.shape[1], image.shape[0]),
+            interpolation=cv2.INTER_NEAREST,
+        )
+    colors = _palette(max(len(segments), 1) + 1)
+    overlay = out.astype(np.float32)
+    labels = []
+    for i, seg in enumerate(segments):
+        m = pan == seg["id"]
+        if not m.any():
+            continue
+        color = np.asarray(colors[i % len(colors)], np.float32)
+        overlay[m] = overlay[m] * (1 - alpha) + color * alpha
+        ys, xs = np.nonzero(m)
+        cid = int(seg["category_id"])
+        label = (
+            class_names[cid]
+            if class_names and 0 <= cid < len(class_names)
+            else str(cid)
+        )
+        labels.append((label, int(xs.mean()), int(ys.mean())))
+    out = overlay.astype(np.uint8)
+    for label, cx, cy in labels:
+        cv2.putText(
+            out, label, (max(cx - 10, 0), cy), cv2.FONT_HERSHEY_SIMPLEX,
+            0.45, (255, 255, 255), 1, cv2.LINE_AA,
+        )
+    return out
+
+
+def draw_eval_image(
+    image: np.ndarray,
+    detection: Dict,
+    class_names: Optional[Sequence[str]] = None,
+    score_thresh: float = 0.5,
+    num_sem_classes: int = 0,
+) -> np.ndarray:
+    """One-stop annotator for the eval loop's per-image detection dict
+    (boxes/scores/classes + optional masks/keypoints/sem_seg/panoptic)."""
+    out = image
+    if detection.get("sem_seg") is not None and num_sem_classes:
+        out = draw_sem_seg(out, detection["sem_seg"], num_sem_classes)
+    if detection.get("panoptic") is not None:
+        out = draw_panoptic(
+            out, detection["panoptic"], detection.get("segments", ()),
+            class_names,
+        )
+    if detection.get("boxes") is not None and len(detection["boxes"]):
+        out = draw_detections(
+            out,
+            detection["boxes"],
+            detection.get("scores"),
+            detection.get("classes"),
+            detection.get("masks"),
+            class_names,
+            score_thresh,
+        )
+    if detection.get("keypoints") is not None and len(detection["keypoints"]):
+        out = draw_keypoints(
+            out, detection["keypoints"], detection.get("scores"), score_thresh
+        )
+    return out

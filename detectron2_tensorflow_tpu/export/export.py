@@ -29,9 +29,13 @@ from ..utils import Registry
 EXPORTER_REGISTRY = Registry("EXPORTER")
 
 
-def serving_postprocess(detections, image_size, label_offset: int = 1) -> Dict:
+def serving_postprocess(detections, image_size, label_offset: int = 1,
+                        num_sem_classes: int = 0,
+                        stuff_area_limit: float = 0.001) -> Dict:
     """Normalize/sort outputs into the serving contract
-    (reference exporter/postprocessing.py:10-201)."""
+    (reference exporter/postprocessing.py:10-201). Mask tensors should
+    already carry the configured SEGMENTATION_OUTPUT format (the exporter
+    applies detector_postprocess/sem_seg_postprocess before this)."""
     boxes = box_ops.to_normalized(detections.boxes, image_size)
     valid = detections.is_valid
     out = {
@@ -44,8 +48,22 @@ def serving_postprocess(detections, image_size, label_offset: int = 1) -> Dict:
     }
     if "pred_masks" in detections:
         out["detection_masks"] = jnp.where(
-            valid[..., None, None], detections.pred_masks, 0.0
+            valid[..., None, None], detections.pred_masks, 0
         )
+    if "sem_seg" in detections and num_sem_classes > 0:
+        # Semantic-seg serving outputs (reference postprocessing.py:110-160):
+        # the class map itself plus, per image, the classes whose area
+        # fraction exceeds the limit and those fractions. Class-NAME strings
+        # and PNG encoding live in the SavedModel wrapper (string dtypes).
+        sem = detections.sem_seg
+        onehot = jax.nn.one_hot(sem, num_sem_classes)
+        areas = onehot.mean(axis=(1, 2))  # [B, C] area fractions
+        show = areas > stuff_area_limit
+        out["sem_seg"] = sem.astype(jnp.int32)
+        out["sem_seg_classes"] = jnp.where(
+            show, jnp.arange(num_sem_classes)[None, :], -1
+        )
+        out["sem_seg_areas"] = jnp.where(show, areas, 0.0)
     return out
 
 
@@ -60,15 +78,33 @@ class DetectionExporter:
         cfg = self.cfg
         h, w = serving_size
         label_offset = cfg.SERVING_MODEL.LABEL_OFFSET
+        has_sem_seg = cfg.MODEL.META_ARCHITECTURE in (
+            "PanopticFPN", "SemanticSegmentor"
+        )
+        num_sem = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES if has_sem_seg else 0
 
         def serve(variables, image_uint8, image_size):
             """image_uint8: [1, H, W, 3] raw RGB; image_size: [1, 2] true hw."""
+            from ..models.meta_arch.postprocess import (
+                detector_postprocess,
+                sem_seg_postprocess,
+            )
+
             batch = {
                 "image": image_uint8.astype(jnp.float32),
                 "image_size": image_size,
             }
             detections = model.predict(variables, batch)
-            return serving_postprocess(detections, image_size[0], label_offset)
+            # Emit masks per MODEL.SEGMENTATION_OUTPUT.FORMAT (reference
+            # rcnn.py:124-133 applies this inside the serving graph).
+            detections = detector_postprocess(cfg, detections, batch)
+            if "sem_seg" in detections:
+                detections = detections.replace(
+                    sem_seg=sem_seg_postprocess(cfg, detections.sem_seg, batch)
+                )
+            return serving_postprocess(
+                detections, image_size[0], label_offset, num_sem
+            )
 
         return serve
 
@@ -104,23 +140,76 @@ class DetectionExporter:
         artifacts["stablehlo"] = hlo_path
 
         # 3) Optional jax2tf SavedModel (serving parity with the reference).
+        #    Two signatures: raw image tensor, and the reference's
+        #    encoded-image-string entry with in-graph decode + shortest-edge
+        #    resize + pad (exporter/placeholder.py:9-82). Sem-seg maps are
+        #    additionally PNG-encoded with class names attached
+        #    (exporter/postprocessing.py:110-160).
         try:
             import tensorflow as tf
             from jax.experimental import jax2tf
 
+            core = jax2tf.convert(closed, with_gradient=False)
             tf_fn = tf.function(
-                jax2tf.convert(closed, with_gradient=False),
+                core,
                 input_signature=[
                     tf.TensorSpec((1, h, w, 3), tf.uint8, name="image"),
                     tf.TensorSpec((1, 2), tf.int32, name="image_size"),
                 ],
                 autograph=False,
             )
+
+            min_dim = cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST
+            max_dim = cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST
+            sem_names = class_names if class_names else []
+
+            def serve_encoded(encoded_image):
+                """[] tf.string JPEG/PNG bytes -> detections (in-graph
+                decode + resize-shortest-edge + pad to the serving bucket)."""
+                img = tf.image.decode_image(encoded_image, channels=3)
+                img.set_shape([None, None, 3])
+                shape = tf.shape(img)[:2]
+                short = tf.cast(tf.reduce_min(shape), tf.float32)
+                long_ = tf.cast(tf.reduce_max(shape), tf.float32)
+                scale = tf.minimum(min_dim / short, max_dim / long_)
+                nh = tf.cast(tf.cast(shape[0], tf.float32) * scale, tf.int32)
+                nw = tf.cast(tf.cast(shape[1], tf.float32) * scale, tf.int32)
+                nh = tf.minimum(nh, h)
+                nw = tf.minimum(nw, w)
+                resized = tf.image.resize(img, (nh, nw), antialias=True)
+                padded = tf.image.pad_to_bounding_box(resized, 0, 0, h, w)
+                out = core(
+                    tf.cast(padded, tf.uint8)[None],
+                    tf.stack([nh, nw])[None],
+                )
+                if "sem_seg" in out:
+                    sem = tf.cast(out["sem_seg"][0], tf.uint8)
+                    out["sem_seg_png"] = tf.io.encode_png(sem[..., None])
+                    if sem_names:
+                        table = tf.constant(list(sem_names), tf.string)
+                        ids = tf.maximum(out["sem_seg_classes"][0], 0)
+                        names = tf.gather(table, tf.minimum(ids, len(sem_names) - 1))
+                        valid = out["sem_seg_classes"][0] >= 0
+                        out["sem_seg_class_names"] = tf.where(
+                            valid, names, tf.fill(tf.shape(names), "")
+                        )
+                return out
+
+            tf_enc = tf.function(
+                serve_encoded,
+                input_signature=[tf.TensorSpec([], tf.string, name="encoded_image")],
+                autograph=False,
+            )
             tf_module = tf.Module()
             tf_module.serve = tf_fn
+            tf_module.serve_encoded = tf_enc
             sm_path = os.path.join(output_dir, "saved_model")
             tf.saved_model.save(
-                tf_module, sm_path, signatures={"serving_default": tf_fn}
+                tf_module, sm_path,
+                signatures={
+                    "serving_default": tf_fn,
+                    "serving_encoded_image": tf_enc,
+                },
             )
             artifacts["saved_model"] = sm_path
         except Exception as e:  # noqa: BLE001 — export must not hard-require tf

@@ -275,6 +275,10 @@ class _RCNNDrivers:
         self.kp_loss_weight = cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT
         self.is_res5 = module.res5 is not None
         self.is_cascade = isinstance(roi_driver, CascadeROIHeads)
+        # Fast R-CNN path: precomputed proposals from the batch, no RPN
+        # (MODEL.LOAD_PROPOSALS; the reference defines the key at
+        # defaults.py:68 but never consumes it — implemented here).
+        self.load_proposals = cfg.MODEL.LOAD_PROPOSALS
         self.num_stages = roi_driver.num_stages if self.is_cascade else 1
         self.with_sem_seg = with_sem_seg
         self.sem_seg_ignore = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE
@@ -320,18 +324,40 @@ class _RCNNDrivers:
         )
         return scores.astype(jnp.float32), deltas.astype(jnp.float32), roi_feats
 
+    def features_only(self, variables, batch, train, tape=None):
+        tape = tape or StatsTape(variables)
+        images = self.prep(batch)
+        return tape.apply(
+            self.module, variables, images, train=train,
+            method="compute_features",
+        )
+
+    @staticmethod
+    def batch_proposals(batch):
+        """Precomputed proposals packed by the loader -> Instances."""
+        return Instances(
+            proposal_boxes=batch["proposal_boxes"],
+            objectness_logits=batch["proposal_scores"],
+            is_valid=batch["proposal_valid"],
+        )
+
     # -- losses ------------------------------------------------------------------
     def loss_fn(self, variables, batch, rng, state):
         tape = StatsTape(variables)
         rng_rpn, rng_roi = jax.random.split(rng)
-        features, logits, deltas = self.features_and_rpn(
-            variables, batch, True, tape=tape
-        )
         image_sizes = batch["image_size"]
-
-        losses = self.rpn.losses(rng_rpn, logits, deltas, batch, image_sizes)
-
-        proposals = self.rpn.proposals(logits, deltas, image_sizes, training=True)
+        if self.load_proposals:
+            features = self.features_only(variables, batch, True, tape=tape)
+            losses = {}
+            proposals = self.batch_proposals(batch)
+        else:
+            features, logits, deltas = self.features_and_rpn(
+                variables, batch, True, tape=tape
+            )
+            losses = self.rpn.losses(rng_rpn, logits, deltas, batch, image_sizes)
+            proposals = self.rpn.proposals(
+                logits, deltas, image_sizes, training=True
+            )
         proposals = jax.tree.map(jax.lax.stop_gradient, proposals)
         if self.roi.proposal_append_gt:
             proposals = add_ground_truth_to_proposals(proposals, batch)
@@ -412,9 +438,17 @@ class _RCNNDrivers:
 
     # -- inference ------------------------------------------------------------------
     def predict_fn(self, variables, batch):
-        features, logits, deltas = self.features_and_rpn(variables, batch, False)
         image_sizes = batch["image_size"]
-        proposals = self.rpn.proposals(logits, deltas, image_sizes, training=False)
+        if self.load_proposals:
+            features = self.features_only(variables, batch, False)
+            proposals = self.batch_proposals(batch)
+        else:
+            features, logits, deltas = self.features_and_rpn(
+                variables, batch, False
+            )
+            proposals = self.rpn.proposals(
+                logits, deltas, image_sizes, training=False
+            )
 
         if self.is_cascade:
             boxes = proposals.proposal_boxes
@@ -472,7 +506,7 @@ class _RCNNDrivers:
 
 def _make_model(cfg, with_sem_seg=False) -> DetectorModel:
     module, rpn_driver, roi_driver, neck_shapes, dtype = _build_rcnn_parts(
-        cfg, with_sem_seg=with_sem_seg
+        cfg, with_rpn=not cfg.MODEL.LOAD_PROPOSALS, with_sem_seg=with_sem_seg
     )
     drv = _RCNNDrivers(
         cfg, module, rpn_driver, roi_driver, neck_shapes, dtype, with_sem_seg

@@ -58,6 +58,17 @@ class MetricLogger:
                 for k, v in metrics.items():
                     tf.summary.scalar(k, float(v), step=int(step))
 
+    def log_image(self, step: int, tag: str, image) -> None:
+        """Write an annotated image summary (EVAL.MAX_EXAMPLE_TO_DRAW path —
+        reference evaluation.py:288-297 image summaries)."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            tf.summary.image(tag, np.asarray(image)[None], step=int(step))
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:

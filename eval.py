@@ -2,7 +2,14 @@
 """Evaluation entry point (reference: /root/reference/eval.py).
 
 Loads the latest checkpoint from the training dir (or PRETRAINS.WEIGHTS /
-PRETRAINS.DETECTRON2), runs COCO evaluation, checks TEST.EXPECTED_RESULTS.
+PRETRAINS.DETECTRON2), runs the evaluators selected by EVAL.METRICS
+(detection / instance-seg / keypoints / VOC / semantic-seg / panoptic),
+and checks TEST.EXPECTED_RESULTS.
+
+``--watch N`` polls the checkpoint directory every N seconds and evaluates
+each new step as it appears (the reference's slim evaluation_loop,
+lib/engine/evaluator.py:80-87), exiting after ``--watch_timeout`` idle
+seconds.
 """
 
 from __future__ import annotations
@@ -10,6 +17,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import time
 
 
 def parse_args():
@@ -17,38 +25,64 @@ def parse_args():
     p.add_argument("--config_file", required=True)
     p.add_argument("--checkpoint", default=None, help="explicit checkpoint path")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument(
+        "--watch", type=int, default=0,
+        help="poll interval (s) for continuous evaluation of new checkpoints",
+    )
+    p.add_argument(
+        "--watch_timeout", type=int, default=3600,
+        help="stop watching after this many seconds without a new checkpoint",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
 
 def load_variables(cfg, model, sample_batch, checkpoint):
+    """Init the model, then restore from an Orbax dir or PRETRAINS source."""
     import jax
+
+    from detectron2_tensorflow_tpu.engine.checkpoint import (
+        latest_checkpoint,
+        load_pretrained,
+        restore_variables,
+    )
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample_batch)
     if checkpoint and os.path.isdir(checkpoint):
-        import orbax.checkpoint as ocp
+        # A CheckpointManager dir (step subdirs) or a direct step/variables dir.
+        step_dir = latest_checkpoint(checkpoint) or checkpoint
+        logging.info("restoring %s", step_dir)
+        return restore_variables(step_dir, variables)
+    loaded = load_pretrained(cfg, model, variables)
+    if loaded is variables:
+        logging.warning("no checkpoint found — evaluating random weights")
+    return loaded
 
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
-        if "params" in restored and "model_state" in restored:
-            # Training-loop checkpoint ({params, model_state, opt_state, ...}).
-            return {"params": restored["params"], **restored["model_state"]}
-        return restored  # plain variables checkpoint (convert_weights/export)
-    if cfg.PRETRAINS.DETECTRON2:
-        from detectron2_tensorflow_tpu.convert.d2 import (
-            apply_converted,
-            convert_d2_weights,
-            load_state_dict,
-        )
 
-        sd = load_state_dict(
-            os.path.join(cfg.PRETRAINS.ROOT, cfg.PRETRAINS.DETECTRON2)
+def build_eval_dataset(cfg):
+    """Dataset keyed by the evaluation families in EVAL.METRICS: panoptic /
+    semantic metrics need the panoptic GT; detection uses CocoDataset."""
+    from detectron2_tensorflow_tpu.data import CocoDataset
+
+    names = tuple(cfg.EVAL.METRICS)
+    root = cfg.DATASETS.ROOT_DIR
+    if ("panoptic_segmentation_metrics" in names
+            or "semantic_segmentation_metrics" in names):
+        from detectron2_tensorflow_tpu.data.panoptic import CocoPanopticDataset
+
+        return CocoPanopticDataset(
+            os.path.join(root, cfg.DATASETS.VAL + "_panoptic.json"),
+            os.path.join(root, cfg.DATASETS.VAL + "_panoptic"),
+            os.path.join(root, cfg.DATASETS.VAL),
         )
-        converted, leftovers = convert_d2_weights(sd, cfg)
-        if leftovers:
-            logging.warning("unconverted checkpoint keys: %s", leftovers)
-        return apply_converted(variables, converted)
-    logging.warning("no checkpoint found — evaluating random weights")
-    return variables
+    ann = os.path.join(root, cfg.DATASETS.VAL + ".json")
+    img_root = os.path.join(root, cfg.DATASETS.VAL)
+    ds = CocoDataset(ann, img_root, load_masks=cfg.MODEL.MASK_ON)
+    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST:
+        ds.set_proposals(
+            os.path.join(root, cfg.DATASETS.PROPOSAL_FILES_TEST[0])
+        )
+    return ds
 
 
 def main():
@@ -59,8 +93,9 @@ def main():
 
     from detectron2_tensorflow_tpu.config import get_cfg
     from detectron2_tensorflow_tpu.config.finalize import finalize
-    from detectron2_tensorflow_tpu.data import CocoDataset, build_dataloader
-    from detectron2_tensorflow_tpu.engine import check_expected_results, evaluate
+    from detectron2_tensorflow_tpu.data import build_dataloader
+    from detectron2_tensorflow_tpu.engine import check_expected_results
+    from detectron2_tensorflow_tpu.engine.evaluator import run_evaluation
     from detectron2_tensorflow_tpu.models import build_model
 
     cfg = get_cfg()
@@ -69,30 +104,57 @@ def main():
         cfg.merge_from_list(args.opts)
     finalize(cfg, training=False)
 
-    ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.VAL + ".json")
-    img_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.VAL)
-    dataset = CocoDataset(ann, img_root, load_masks=cfg.MODEL.MASK_ON)
-
+    dataset = build_eval_dataset(cfg)
     model = build_model(cfg)
-    eval_iter = build_dataloader(cfg, dataset, training=False)
-    eval_iter = ({k: jnp.asarray(v) for k, v in b.items()} for b in eval_iter)
-    first = next(eval_iter)
 
+    def data_iter():
+        batches = build_dataloader(cfg, dataset, training=False)
+        return ({k: jnp.asarray(v) for k, v in b.items()} for b in batches)
+
+    sample = next(data_iter())
     ckpt = args.checkpoint or os.path.join(
         cfg.LOGS.ROOT_DIR or cfg.OUTPUT_DIR, cfg.LOGS.TRAIN
     )
-    variables = load_variables(cfg, model, first, ckpt)
 
-    def chain():
-        yield first
-        yield from eval_iter
+    def eval_once():
+        variables = load_variables(cfg, model, sample, ckpt)
+        metrics = run_evaluation(
+            cfg, model, variables, dataset, data_iter, args.max_images
+        )
+        for k, v in sorted(metrics.items()):
+            print(f"{k}: {v:.3f}")
+        return metrics
 
-    metrics = evaluate(cfg, model, variables, dataset, chain(), args.max_images)
-    for k, v in sorted(metrics.items()):
-        print(f"{k}: {v:.3f}")
-    failures = check_expected_results(cfg, metrics)
-    if failures:
-        raise SystemExit("EXPECTED_RESULTS failed:\n" + "\n".join(failures))
+    if args.watch <= 0:
+        metrics = eval_once()
+        failures = check_expected_results(cfg, metrics)
+        if failures:
+            raise SystemExit("EXPECTED_RESULTS failed:\n" + "\n".join(failures))
+        return
+
+    # Continuous mode: evaluate each new checkpoint step as it lands.
+    from detectron2_tensorflow_tpu.engine.checkpoint import latest_step
+
+    last_seen = None
+    idle_since = time.time()
+    while True:
+        step = latest_step(ckpt)
+        if step is not None and step != last_seen:
+            logging.info("evaluating checkpoint step %d", step)
+            metrics = eval_once()
+            last_seen = step
+            idle_since = time.time()
+            out_dir = cfg.LOGS.ROOT_DIR or cfg.OUTPUT_DIR
+            if out_dir:
+                import json
+
+                os.makedirs(out_dir, exist_ok=True)
+                with open(os.path.join(out_dir, "eval_metrics.jsonl"), "a") as f:
+                    f.write(json.dumps({"step": step, **metrics}) + "\n")
+        if time.time() - idle_since > args.watch_timeout:
+            logging.info("no new checkpoint for %ds — stopping", args.watch_timeout)
+            break
+        time.sleep(args.watch)
 
 
 if __name__ == "__main__":

@@ -165,3 +165,77 @@ def test_relation_module_permutation_consistency():
     np.testing.assert_allclose(
         np.asarray(out[:, perm]), np.asarray(out_p), atol=1e-4
     )
+
+
+def test_panoptic_tfrecords_roundtrip(tmp_path):
+    """Panoptic records: sem_seg id-map PNG (with -1 ignore) + instance
+    fields round-trip through the shard writer (reference
+    build_coco_pano.py:33-265)."""
+    from detectron2_tensorflow_tpu.data.records import TFRecordDataset, build_records
+
+    class PanoSet:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            h, w = 40, 60
+            img = np.full((h, w, 3), 90, np.uint8)
+            sem = np.full((h, w), -1, np.int32)
+            sem[:20] = 0  # things region
+            sem[20:, :30] = 3  # stuff class 3
+            m = np.zeros((h, w), np.float32)
+            m[2:18, 5:25] = 1
+            return {
+                "image": img,
+                "image_id": i,
+                "boxes": np.array([[5.0, 2.0, 25.0, 18.0]], np.float32),
+                "classes": np.array([1], np.int32),
+                "is_crowd": np.array([False]),
+                "areas": np.array([320.0], np.float32),
+                "masks": m[None],
+                "sem_seg": sem,
+            }
+
+    paths = build_records(PanoSet(), str(tmp_path / "pano.record"), num_shards=1)
+    back = TFRecordDataset(str(tmp_path / "pano.record-*"))
+    s = back[0]
+    orig = PanoSet()[0]
+    np.testing.assert_array_equal(s["sem_seg"], orig["sem_seg"])  # incl. -1
+    np.testing.assert_allclose(s["areas"], orig["areas"])
+    np.testing.assert_allclose(s["boxes"], orig["boxes"], atol=0.51)
+    assert s["masks"].shape == orig["masks"].shape
+
+
+def test_draw_keypoints_panoptic_and_eval_image():
+    from detectron2_tensorflow_tpu.evaluation.visualization import (
+        draw_eval_image,
+        draw_keypoints,
+        draw_panoptic,
+    )
+
+    img = np.zeros((60, 80, 3), np.uint8)
+    kps = np.zeros((1, 17, 3), np.float32)
+    kps[0, :, 0] = np.linspace(10, 60, 17)
+    kps[0, :, 1] = np.linspace(10, 50, 17)
+    kps[0, :, 2] = 2
+    out = draw_keypoints(img, kps, np.array([0.9]))
+    assert out.shape == img.shape and out.sum() > 0
+
+    pan = np.zeros((60, 80), np.int32)
+    pan[10:30, 10:40] = 7
+    out2 = draw_panoptic(img, pan, [{"id": 7, "category_id": 0}], ["cat"])
+    assert out2.sum() > 0
+
+    out3 = draw_eval_image(
+        img,
+        {
+            "boxes": np.array([[5.0, 5.0, 30.0, 30.0]]),
+            "scores": np.array([0.9]),
+            "classes": np.array([0]),
+            "keypoints": kps,
+            "panoptic": pan,
+            "segments": [{"id": 7, "category_id": 0}],
+        },
+        ["cat"],
+    )
+    assert out3.shape == img.shape and out3.sum() > 0

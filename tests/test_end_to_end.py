@@ -20,6 +20,9 @@ from detectron2_tensorflow_tpu.engine import (
 from detectron2_tensorflow_tpu.models import build_model
 from tests.test_data import SyntheticDataset, small_cfg
 
+pytestmark = pytest.mark.slow  # full-detector jit compiles
+
+
 
 def tiny_rcnn_cfg():
     cfg = small_cfg()

@@ -180,3 +180,112 @@ def test_coco_eval_area_ranges_use_annotation_area():
     m = ev.evaluate()
     assert m["APs"] > 0  # matched in the small range
     assert np.isnan(m["APl"]) or m["APl"] <= 0  # no large-range GT
+
+
+def test_weighted_voc_pools_classes():
+    """Weighted VOC mAP = corpus-level AP over all classes pooled
+    (reference pascal_voc_evaluator.py:558-590)."""
+    from detectron2_tensorflow_tpu.evaluation.pascal_voc_eval import (
+        PascalVocEvaluator,
+    )
+
+    # class 0: 1 GT, matched at score 0.9. class 1: 1 GT, missed; one FP at 0.8.
+    gt = {
+        "boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float64),
+        "classes": np.array([0, 1]),
+    }
+    det = {
+        "boxes": np.array([[0, 0, 10, 10], [40, 40, 50, 50]], np.float64),
+        "scores": np.array([0.9, 0.8]),
+        "classes": np.array([0, 1]),
+    }
+    plain = PascalVocEvaluator(2)
+    plain.add_image(gt, det)
+    m_plain = plain.evaluate()
+    # per-class: AP0 = 1.0, AP1 = 0.0 -> mAP 50
+    assert abs(m_plain["mAP"] - 50.0) < 1e-6
+
+    weighted = PascalVocEvaluator(2, weighted=True)
+    weighted.add_image(gt, det)
+    m_w = weighted.evaluate()
+    # pooled: scores [.9 tp, .8 fp], total gt 2:
+    # precision-recall: (1/1, 0.5), (1/2, 0.5) -> AP = 0.5 * 1.0 = 0.5
+    assert abs(m_w["mAP"] - 50.0) < 1e-6
+
+    # Order matters for the pooled metric: make the FP outscore the TP.
+    weighted2 = PascalVocEvaluator(2, weighted=True)
+    det2 = {**det, "scores": np.array([0.7, 0.8])}
+    weighted2.add_image(gt, det2)
+    m_w2 = weighted2.evaluate()
+    # pooled: fp at .8 then tp at .7 -> envelope precision at r=0.5 is 0.5
+    assert abs(m_w2["mAP"] - 25.0) < 1e-6
+    # while the unweighted mAP is unchanged by cross-class score order
+    plain2 = PascalVocEvaluator(2)
+    plain2.add_image(gt, det2)
+    assert abs(plain2.evaluate()["mAP"] - 50.0) < 1e-6
+
+
+def test_voc_instance_segmentation_matches_by_mask_iou():
+    from detectron2_tensorflow_tpu.evaluation.pascal_voc_eval import (
+        PascalVocEvaluator,
+    )
+
+    h, w = 20, 20
+    gm = np.zeros((1, h, w), bool)
+    gm[0, :10, :10] = True
+    # detection box matches, mask disjoint -> mask evaluator must reject it
+    dm = np.zeros((1, h, w), bool)
+    dm[0, 10:, 10:] = True
+    gt = {
+        "boxes": np.array([[0, 0, 10, 10]], np.float64),
+        "classes": np.array([0]),
+        "masks": gm,
+    }
+    det = {
+        "boxes": np.array([[0, 0, 10, 10]], np.float64),
+        "scores": np.array([0.9]),
+        "classes": np.array([0]),
+        "masks": dm,
+    }
+    box_ev = PascalVocEvaluator(1)
+    box_ev.add_image(gt, det)
+    assert box_ev.evaluate()["mAP"] == 100.0
+    mask_ev = PascalVocEvaluator(1, use_masks=True)
+    mask_ev.add_image(gt, det)
+    assert mask_ev.evaluate()["mAP"] == 0.0
+    # and a correct mask scores
+    mask_ev2 = PascalVocEvaluator(1, use_masks=True)
+    mask_ev2.add_image(gt, {**det, "masks": gm})
+    assert mask_ev2.evaluate()["mAP"] == 100.0
+
+
+def test_build_detection_evaluators_dispatch():
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.engine.evaluator import (
+        build_detection_evaluators,
+    )
+
+    cfg = get_cfg()
+    cfg.EVAL.METRICS = (
+        "coco_detection_metrics",
+        "coco_instance_segmentation_metrics",
+        "pascal_voc_detection_metrics",
+        "weighted_pascal_voc_detection_metrics",
+        "pascal_voc_instance_segmentation_metrics",
+        "weighted_pascal_voc_instance_segmentation_metrics",
+        "coco_keypoint_metrics",
+        "semantic_segmentation_metrics",  # routed elsewhere, not here
+    )
+    evs = build_detection_evaluators(cfg)
+    assert set(evs) == {
+        "bbox", "segm", "keypoints", "voc_bbox", "voc_bbox_weighted",
+        "voc_segm", "voc_segm_weighted",
+    }
+    kinds = {p: k for p, (_, k) in evs.items()}
+    assert kinds["voc_segm"] == "segm" and kinds["keypoints"] == "keypoints"
+
+    cfg.EVAL.METRICS = ("no_such_metric",)
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_detection_evaluators(cfg)

@@ -6,6 +6,9 @@ import pytest
 from detectron2_tensorflow_tpu.config import get_cfg
 from detectron2_tensorflow_tpu.models import build_model
 
+pytestmark = pytest.mark.slow  # full-detector jit compiles
+
+
 
 def test_keypoint_rcnn_end_to_end():
     cfg = get_cfg()

@@ -6,6 +6,9 @@ import pytest
 from detectron2_tensorflow_tpu.config import get_cfg
 from detectron2_tensorflow_tpu.models import build_model
 
+pytestmark = pytest.mark.slow  # full-detector jit compiles
+
+
 
 def _small_common(cfg):
     cfg.MODEL.RESNETS.DEPTH = 18

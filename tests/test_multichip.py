@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-detector jit compiles
+
+
 
 def test_dryrun_multichip_8():
     import __graft_entry__

@@ -6,6 +6,9 @@ import pytest
 from detectron2_tensorflow_tpu.config import get_cfg
 from detectron2_tensorflow_tpu.models import build_model
 
+pytestmark = pytest.mark.slow  # full-detector jit compiles
+
+
 
 def _batch(b=1, h=64, w=64, g=2):
     return {

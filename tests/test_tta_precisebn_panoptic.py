@@ -14,6 +14,9 @@ from detectron2_tensorflow_tpu.config import get_cfg
 from detectron2_tensorflow_tpu.engine.tta import precise_bn, tta_predict
 from detectron2_tensorflow_tpu.models import build_model
 
+pytestmark = pytest.mark.slow  # full-detector jit compiles
+
+
 
 def _tiny_rcnn_cfg():
     cfg = get_cfg()
@@ -230,3 +233,23 @@ def test_panoptic_eval_loop(tmp_path):
     # random weights -> PQ near 0, but the full pipeline must produce metrics
     for k in ("panoptic/PQ", "panoptic/SQ", "panoptic/RQ"):
         assert k in metrics and np.isfinite(metrics[k])
+
+    # EVAL.METRICS dispatch: one call produces every requested family
+    # (detection + instance-seg + semantic + panoptic), like the reference's
+    # panoptic_fpn quick_schedules gate.
+    from detectron2_tensorflow_tpu.engine.evaluator import run_evaluation
+
+    cfg.EVAL.METRICS = (
+        "coco_detection_metrics",
+        "coco_instance_segmentation_metrics",
+        "semantic_segmentation_metrics",
+        "panoptic_segmentation_metrics",
+    )
+
+    def fresh():
+        it = build_dataloader(cfg, ds, training=False)
+        return ({k: jnp.asarray(v) for k, v in b.items()} for b in it)
+
+    all_metrics = run_evaluation(cfg, model, variables, ds, fresh)
+    for k in ("bbox/AP", "segm/AP", "sem_seg/mIoU", "panoptic/PQ"):
+        assert k in all_metrics and np.isfinite(all_metrics[k]), sorted(all_metrics)

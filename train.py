@@ -42,14 +42,39 @@ def main():
     ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".json")
     img_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN)
     dataset = CocoDataset(ann, img_root, load_masks=cfg.MODEL.MASK_ON)
+    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN:
+        dataset.set_proposals(
+            os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.PROPOSAL_FILES_TRAIN[0])
+        )
 
     model = build_model(cfg)
     data_iter = build_dataloader(cfg, dataset, training=True, seed=max(cfg.SEED, 0))
 
+    # Periodic in-training evaluation (TEST.EVAL_PERIOD; reference
+    # evaluator.py:80-87 runs it as a separate polling job — here it can also
+    # run inline on the training host).
+    eval_fn = None
+    if cfg.TEST.EVAL_PERIOD > 0:
+        import jax.numpy as jnp
+
+        from detectron2_tensorflow_tpu.engine.evaluator import run_evaluation
+
+        val_ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.VAL + ".json")
+        val_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.VAL)
+        val_ds = CocoDataset(val_ann, val_root, load_masks=cfg.MODEL.MASK_ON)
+
+        def eval_fn(variables, step):
+            batches = build_dataloader(cfg, val_ds, training=False)
+            it = ({k: jnp.asarray(v) for k, v in b.items()} for b in batches)
+            return run_evaluation(
+                cfg, model, variables, val_ds, it,
+                max_images=cfg.EVAL.NUM_EVAL or None,
+            )
+
     ckpt_dir = os.path.join(cfg.LOGS.ROOT_DIR or cfg.OUTPUT_DIR, cfg.LOGS.TRAIN)
     train(
         cfg, model, data_iter,
-        max_iter=args.max_iter, checkpoint_dir=ckpt_dir,
+        max_iter=args.max_iter, checkpoint_dir=ckpt_dir, eval_fn=eval_fn,
     )
 
 
