@@ -190,6 +190,9 @@ _C.MODEL.BACKBONE.FREEZE_AT = 2
 
 _C.MODEL.RESNETS = CN()
 _C.MODEL.RESNETS.DEPTH = 101
+# TPU addition: space-to-depth rewrite of the 7x7/2 stem conv (arithmetic-
+# exact; opt-in — measured neutral-to-slower on v5e, can win elsewhere).
+_C.MODEL.RESNETS.STEM_SPACE_TO_DEPTH = False
 _C.MODEL.RESNETS.OUT_FEATURES = ["res4"]  # C4: ["res4"]; FPN: res2..res5
 _C.MODEL.RESNETS.NUM_GROUPS = 1  # >1 => ResNeXt
 _C.MODEL.RESNETS.NORM = "FrozenBN"  # FrozenBN | GN | SyncBN | BN

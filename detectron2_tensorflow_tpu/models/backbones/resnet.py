@@ -39,24 +39,107 @@ BLOCKS_PER_STAGE = {
 }
 
 
+class _KernelHolder(nn.Module):
+    """Declares ``kernel`` (+``bias``) — named "conv", it reproduces
+    Conv2D's ``conv1/conv/kernel`` parameter path so weight converters are
+    untouched."""
+
+    shape: tuple
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            self.shape,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _S2DStemConv(nn.Module):
+    """Space-to-depth rewrite of the 7x7/2 stem conv (see Stem docstring).
+    Parameter tree is identical to ``Conv2D(7, 2, norm=...)``."""
+
+    features: int
+    norm: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        kernel, bias = _KernelHolder(
+            (7, 7, c, self.features), use_bias=self.norm == "", name="conv"
+        )()
+        hh, ww = h // 2, w // 2
+        x2d = x.reshape(b, hh, 2, ww, 2, c)
+        x2d = x2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, 4 * c)
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,C,O]
+        w2d = wp.reshape(4, 2, 4, 2, c, self.features)
+        w2d = w2d.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        x = jax.lax.conv_general_dilated(
+            x2d.astype(self.dtype),
+            w2d.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            x = x + bias.astype(x.dtype)
+        norm = get_norm(self.norm, self.features, self.dtype)
+        if norm is not None:
+            x = norm(x, train=train)
+        return get_activation("relu")(x)
+
+
 class Stem(nn.Module):
-    """7x7/2 conv + norm + relu + 3x3/2 maxpool (stride 4 total)."""
+    """7x7/2 conv + norm + relu + 3x3/2 maxpool (stride 4 total).
+
+    TPU fast path (``space_to_depth``): a 7x7 stride-2 conv on a 3-channel
+    image starves the MXU (3 input channels against a 128-wide systolic
+    array) and is HBM-padding-heavy. Rewriting the input as 2x2
+    space-to-depth blocks ([H, W, 3] -> [H/2, W/2, 12]) turns it into a
+    4x4 STRIDE-1 conv over 12 channels — the exact same arithmetic
+    (the 7x7 kernel zero-padded to 8x8 and regrouped).
+    The parameter stays [7, 7, 3, 64] under the canonical name so weight
+    converters are untouched; the regrouping folds into the graph.
+
+    Derivation: y[i] = sum_k w[k] x[2i+k-3]; with k' = k+1 = 2m+r the sum
+    becomes sum_{m,r} w'[m, r] x2d[i+m-2, r] — a 4-tap stride-1 conv with
+    explicit (2, 1) padding, where w' is the kernel padded by one zero row/
+    column at the top-left and reshaped [8->4x2].
+    """
 
     out_channels: int = 64
     norm: str = "FrozenBN"
     dtype: Any = jnp.float32
+    # Measured SLOWER on TPU v5e (the input reshuffle outweighs the MXU win
+    # — XLA's native 3-channel conv path is already good there); kept as an
+    # opt-in for TPU generations where the 7x7/2 stem is the bottleneck.
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv2D(
-            self.out_channels,
-            kernel_size=7,
-            strides=2,
-            norm=self.norm,
-            activation="relu",
-            dtype=self.dtype,
-            name="conv1",
-        )(x, train=train)
+        h, w = x.shape[1:3]
+        if self.space_to_depth and h % 2 == 0 and w % 2 == 0:
+            x = _S2DStemConv(
+                self.out_channels, self.norm, self.dtype, name="conv1"
+            )(x, train=train)
+        else:
+            x = Conv2D(
+                self.out_channels,
+                kernel_size=7,
+                strides=2,
+                norm=self.norm,
+                activation="relu",
+                dtype=self.dtype,
+                name="conv1",
+            )(x, train=train)
         return max_pool(x, 3, 2)
 
 
@@ -198,6 +281,7 @@ class ResNet(nn.Module):
     num_groups: int = 1
     width_per_group: int = 64
     stem_out_channels: int = 64
+    stem_space_to_depth: bool = False
     res2_out_channels: int = 256
     stride_in_1x1: bool = True
     res5_dilation: int = 1
@@ -216,9 +300,10 @@ class ResNet(nn.Module):
         use_bottleneck = self.depth >= 50
         blocks = BLOCKS_PER_STAGE[self.depth]
 
-        x = Stem(self.stem_out_channels, self.norm, dtype=self.dtype, name="stem")(
-            x, train=train
-        )
+        x = Stem(
+            self.stem_out_channels, self.norm, dtype=self.dtype,
+            space_to_depth=self.stem_space_to_depth, name="stem",
+        )(x, train=train)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
 
@@ -289,6 +374,7 @@ def build_resnet_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, Dict[str, 
         num_groups=r.NUM_GROUPS,
         width_per_group=r.WIDTH_PER_GROUP,
         stem_out_channels=r.STEM_OUT_CHANNELS,
+        stem_space_to_depth=r.STEM_SPACE_TO_DEPTH,
         res2_out_channels=r.RES2_OUT_CHANNELS,
         stride_in_1x1=r.STRIDE_IN_1X1,
         res5_dilation=r.RES5_DILATION,

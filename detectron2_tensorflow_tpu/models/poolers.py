@@ -44,26 +44,31 @@ def assign_boxes_to_levels(
     canonical_box_size: int = 224,
     canonical_level: int = 4,
     patch_size: int = 0,
+    extent_max_level: int = 0,
 ) -> jnp.ndarray:
     """FPN paper eqn (1): level = floor(k0 + log2(sqrt(wh)/224)), clamped.
 
     With ``patch_size > 0`` the level is additionally raised until
-    ``max(w, h) / stride <= patch_size - 2`` (see module docstring).
-    Returns [N] int32 level indices relative to min_level.
+    ``max(w, h) / stride <= patch_size - 2`` (see module docstring);
+    ``extent_max_level >= max_level`` lets that raise reach EXTRA pooled
+    levels (2x-avgpooled copies of the top feature map) beyond the FPN
+    area-rule range. Returns [N] int32 level indices relative to min_level.
     """
+    extent_max_level = max(extent_max_level, max_level)
     w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
     h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
     sqrt_area = jnp.sqrt(w * h)
     lvl = jnp.floor(
         canonical_level + jnp.log2(sqrt_area / canonical_box_size + 1e-8)
     )
+    lvl = jnp.clip(lvl, min_level, max_level)  # FPN area rule
     if patch_size > 0:
         max_side = jnp.maximum(w, h)
         extent_lvl = jnp.ceil(
             jnp.log2(jnp.maximum(max_side / (patch_size - _EXTENT_MARGIN), 1e-8))
         )
         lvl = jnp.maximum(lvl, extent_lvl)
-    lvl = jnp.clip(lvl, min_level, max_level)
+    lvl = jnp.clip(lvl, min_level, extent_max_level)
     return (lvl - min_level).astype(jnp.int32)
 
 
@@ -87,52 +92,77 @@ def _interp_weights(coords, ty, size_l, patch_size, out_size, ratio):
     return w  # [N, out, P]
 
 
-def multilevel_roi_align(
+def plan_pooling(
     features: List[jnp.ndarray],
     boxes: jnp.ndarray,
     strides: Sequence[int],
-    output_size: int = 7,
-    sampling_ratio: int = 2,
-    canonical_box_size: int = 224,
-    canonical_level: int = 4,
-    patch_size: int = DEFAULT_PATCH,
-    use_pallas: bool | None = None,
-) -> jnp.ndarray:
-    """Pool [N, 4] xyxy boxes from a feature pyramid (list of [Hl, Wl, C]).
+    output_size: int,
+    sampling_ratio: int,
+    canonical_box_size: int,
+    canonical_level: int,
+    patch_size: int,
+    extra_levels: int,
+):
+    """Shared front half of the pooler: storage layout + per-ROI plan.
 
-    Returns [N, out, out, C] in the features' dtype. ``use_pallas=None``
-    selects the fused Pallas kernel on TPU, the XLA path elsewhere.
+    Returns (storage [Htot, Wm, C], starts [N, 2] (row, col), wy, wx).
+
+    Storage is the pyramid ROW-CONCATENATED into a single [Htot, Wm, C]
+    plane (levels stacked top-to-bottom, each row-padded to the widest
+    level, plus ``patch_size`` zero rows at the bottom) — vs. a padded
+    [L, Hmax, Wmax, C] stack this writes ~60% fewer bytes to HBM, which at
+    production shapes is itself milliseconds per batch. A patch fetched
+    near a level's bottom edge may read into the next level's rows; those
+    rows always carry ZERO interpolation weight (samples are clamped to the
+    level extent and the hat weight at distance >= 1 is exactly 0), so the
+    reads are harmless.
+
+    ``extra_levels`` appends 2x2-avgpooled copies of the top level so the
+    extent rule can bound EVERY box's sample span by a small patch: a box
+    longer than (P-9)*top_stride pools from a coarser averaged map instead
+    of silently truncating. (Deviation from D2 for boxes > ~0.9x the image
+    side; documented.)
     """
-    assert len(features) == len(strides)
+    features = list(features)
+    strides = list(strides)
+    for _ in range(extra_levels):
+        top = features[-1]
+        hh, ww = top.shape[0] // 2 * 2, top.shape[1] // 2 * 2
+        pooled = top[:hh, :ww].reshape(
+            hh // 2, 2, ww // 2, 2, top.shape[-1]
+        ).mean(axis=(1, 3))
+        features.append(pooled)
+        strides.append(strides[-1] * 2)
+
     c = features[0].shape[-1]
-    if sampling_ratio <= 0:
-        sampling_ratio = 2  # static stand-in for D2's adaptive ceil rule
     s = output_size * sampling_ratio
-    n = boxes.shape[0]
     p = patch_size
 
-    # Stack levels into one padded [L, Hm, Wm, C] tensor for patch slicing.
-    h_max = max(max(f.shape[0] for f in features), p)
     w_max = max(max(f.shape[1] for f in features), p)
-    stacked = jnp.stack(
+    row_offsets = []
+    off = 0
+    for f in features:
+        row_offsets.append(off)
+        off += f.shape[0]
+    storage = jnp.concatenate(
         [
-            jnp.pad(
-                f,
-                ((0, h_max - f.shape[0]), (0, w_max - f.shape[1]), (0, 0)),
-            )
+            jnp.pad(f, ((0, 0), (0, w_max - f.shape[1]), (0, 0)))
             for f in features
         ]
+        + [jnp.zeros((p, w_max, c), features[0].dtype)],
+        axis=0,
     )
 
     heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
     widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
     scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)
+    offsets = jnp.asarray(row_offsets, jnp.int32)
 
     min_level = int(math.log2(strides[0]))
-    max_level = int(math.log2(strides[-1]))
+    fpn_max_level = int(math.log2(strides[len(strides) - 1 - extra_levels]))
     levels = assign_boxes_to_levels(
-        boxes, min_level, max_level, canonical_box_size, canonical_level,
-        patch_size=p,
+        boxes, min_level, fpn_max_level, canonical_box_size, canonical_level,
+        patch_size=p, extent_max_level=fpn_max_level + extra_levels,
     )  # [N], 0-based
 
     scale = jnp.take(scales, levels)
@@ -149,19 +179,51 @@ def multilevel_roi_align(
     ys = y0[:, None] + steps[None, :] * roi_h[:, None]  # [N, S]
     xs = x0[:, None] + steps[None, :] * roi_w[:, None]
 
-    # Patch origin: floor of the first clamped sample, kept inside bounds.
-    # tx additionally rounds DOWN to the sublane alignment so the Pallas
-    # DMA start is tileable (the extra left margin is inside the patch).
-    ty = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, None)), 0.0, h_max - p)
+    # Patch origin: floor of the first clamped sample, kept inside the
+    # level (downward overreach lands in zero-weight rows, see above).
+    # tx rounds DOWN to the sublane alignment so the Pallas DMA start is
+    # tileable (the extra left margin is inside the patch).
+    ty = jnp.clip(
+        jnp.floor(jnp.clip(ys[:, 0], 0.0, None)), 0.0, jnp.maximum(h_l - 1, 0)
+    )
     tx = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)), 0.0, w_max - p)
     tx = jnp.floor(tx / _ALIGN) * _ALIGN
 
     wy = _interp_weights(ys, ty, h_l, p, output_size, sampling_ratio)
     wx = _interp_weights(xs, tx, w_l, p, output_size, sampling_ratio)
 
-    starts = jnp.stack(
-        [levels, ty.astype(jnp.int32), tx.astype(jnp.int32)], axis=1
-    )  # [N, 3]
+    rows = jnp.take(offsets, levels) + ty.astype(jnp.int32)
+    starts = jnp.stack([rows, tx.astype(jnp.int32)], axis=1)  # [N, 2]
+    return storage, starts, wy, wx
+
+
+def multilevel_roi_align(
+    features: List[jnp.ndarray],
+    boxes: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    patch_size: int = DEFAULT_PATCH,
+    extra_levels: int = 0,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Pool [N, 4] xyxy boxes from a feature pyramid (list of [Hl, Wl, C]).
+
+    Returns [N, out, out, C] in the features' dtype. ``use_pallas=None``
+    selects the fused Pallas kernel on TPU, the XLA path elsewhere.
+    """
+    assert len(features) == len(strides)
+    c = features[0].shape[-1]
+    if sampling_ratio <= 0:
+        sampling_ratio = 2  # static stand-in for D2's adaptive ceil rule
+    p = patch_size
+
+    storage, starts, wy, wx = plan_pooling(
+        features, boxes, strides, output_size, sampling_ratio,
+        canonical_box_size, canonical_level, p, extra_levels,
+    )
 
     if use_pallas is None:
         # The fused kernel runs MXU-native (bf16-multiply) precision; the
@@ -172,12 +234,11 @@ def multilevel_roi_align(
     if use_pallas:
         from ..ops.pallas.roi_patch import roi_patch_interpolate_diff
 
-        return roi_patch_interpolate_diff(stacked, starts, wy, wx)
+        return roi_patch_interpolate_diff(storage, starts, wy, wx)
 
     # XLA fallback (CPU/debug): vmapped patch slices + einsum interpolation.
     def fetch(st):
-        sl = jax.lax.dynamic_slice(stacked, (st[0], st[1], st[2], 0), (1, p, p, c))
-        return sl[0]
+        return jax.lax.dynamic_slice(storage, (st[0], st[1], 0), (p, p, c))
 
     patches = jax.vmap(fetch)(starts)  # [N, P, P, C]
 
@@ -192,12 +253,30 @@ def multilevel_roi_align(
     return out
 
 
+TARGET_PATCH = 32  # patch DMA bytes scale with P^2 — keep it small
+
+
+def plan_patch(max_image_size: int, top_stride: int,
+               target: int = TARGET_PATCH, max_extra: int = 2):
+    """(patch_size, extra_levels) covering a full-image-wide ROI.
+
+    A box can never be longer than the padded image's long side. The patch
+    must cover max_side/stride + margin cells at the ROI's level; appending
+    2x-avgpooled extra levels halves that requirement per level, so a SMALL
+    patch (3x less DMA traffic than the 56-cell worst case at stride 32)
+    covers every legal box. Extra levels only ever receive boxes the plain
+    pyramid would silently TRUNCATE (side > (P-9)*top_stride)."""
+    patch = DEFAULT_PATCH
+    for extra in range(max_extra + 1):
+        need = -(-max_image_size // (top_stride << extra)) + _EXTENT_MARGIN
+        patch = -(-need // _ALIGN) * _ALIGN
+        if patch <= target:
+            return max(patch, 16), extra
+    return max(patch, 16), max_extra
+
+
 def patch_size_for(max_image_size: int, top_stride: int) -> int:
-    """Smallest aligned patch that covers a full-image-wide ROI at the
-    coarsest level. A box can never be longer than the padded image's long
-    side, so sizing the patch from the configured max image size makes the
-    extent-bound level assignment exact for every legal box (previously a
-    box over (P-9)*top_stride px silently pooled truncated features)."""
+    """Single-plane variant of :func:`plan_patch` (no extra levels)."""
     need = -(-max_image_size // top_stride) + _EXTENT_MARGIN
     return max(DEFAULT_PATCH, -(-need // _ALIGN) * _ALIGN)
 
@@ -222,11 +301,12 @@ class ROIPooler:
         self.aligned = pooler_type == "ROIAlignV2"
         self.canonical_box_size = canonical_box_size
         self.canonical_level = canonical_level
-        self.patch_size = (
-            patch_size_for(max_image_size, self.strides[-1])
-            if max_image_size
-            else DEFAULT_PATCH
-        )
+        if max_image_size:
+            self.patch_size, self.extra_levels = plan_patch(
+                max_image_size, self.strides[-1]
+            )
+        else:
+            self.patch_size, self.extra_levels = DEFAULT_PATCH, 0
 
     def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
         """features: per-level [Hl, Wl, C] (single image); boxes [N, 4]."""
@@ -250,4 +330,5 @@ class ROIPooler:
             self.canonical_box_size,
             self.canonical_level,
             patch_size=self.patch_size,
+            extra_levels=self.extra_levels,
         )

@@ -6,7 +6,8 @@ with high per-slice overhead (~10 ms/img at production shapes). This kernel
 replaces it with the memory system's native operation:
 
   * grid over ROIs; each step issues ONE strided DMA
-    HBM[level, ty:ty+P, tx:tx+P, :] -> VMEM, double-buffered so the next
+    HBM[row:row+P, tx:tx+P, :] -> VMEM (the pyramid levels are
+    row-concatenated into one plane by the caller), double-buffered so the next
     ROI's patch streams in while the current one computes;
   * the bilinear interpolation (+ sampling-bin average, folded into the
     weight matrices by the caller) runs on the MXU in-kernel:
@@ -39,12 +40,11 @@ def _make_kernel(precision):
         n = pl.num_programs(0)
 
         def dma_for(idx, slot):
-            lvl = starts_ref[idx, 0]
-            ty = starts_ref[idx, 1]
-            tx = pl.multiple_of(starts_ref[idx, 2], 8)
+            row = starts_ref[idx, 0]
+            tx = pl.multiple_of(starts_ref[idx, 1], 8)
             p = patch_ref.shape[1]
             return pltpu.make_async_copy(
-                stacked_ref.at[lvl, pl.ds(ty, p), pl.ds(tx, p), :],
+                stacked_ref.at[pl.ds(row, p), pl.ds(tx, p), :],
                 patch_ref.at[slot],
                 sem_ref.at[slot],
             )
@@ -100,14 +100,13 @@ def _bwd_kernel(starts_ref, g_ref, wy_ref, wx_ref, zeros_ref, out_ref,
     """
     del zeros_ref  # aliased into out_ref; presence zero-initializes it
     i = pl.program_id(0)
-    lvl = starts_ref[i, 0]
-    ty = starts_ref[i, 1]
-    tx = pl.multiple_of(starts_ref[i, 2], 8)
+    row = starts_ref[i, 0]
+    tx = pl.multiple_of(starts_ref[i, 1], 8)
     p = patch_ref.shape[0]
     c = patch_ref.shape[2]
     s = wy_ref.shape[1]
 
-    region = out_ref.at[lvl, pl.ds(ty, p), pl.ds(tx, p), :]
+    region = out_ref.at[pl.ds(row, p), pl.ds(tx, p), :]
     read = pltpu.make_async_copy(region, patch_ref, sem_ref.at[0])
     read.start()
 
@@ -148,9 +147,9 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
             pl.BlockSpec((1, s, s, c), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # zeros (aliased to out)
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to out)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((p, p, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -200,8 +199,8 @@ roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def roi_patch_interpolate(
-    stacked: jnp.ndarray,  # [L, Hm, Wm, C] padded pyramid
-    starts: jnp.ndarray,  # [N, 3] int32 (level, ty, tx); tx multiple of 8
+    stacked: jnp.ndarray,  # [Htot, Wm, C] row-concatenated pyramid
+    starts: jnp.ndarray,  # [N, 2] int32 (row, tx); tx multiple of 8
     wy: jnp.ndarray,  # [N, S, P] f32 bin-averaged hat weights
     wx: jnp.ndarray,  # [N, S, P]
     interpret: bool = False,
@@ -217,7 +216,7 @@ def roi_patch_interpolate(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stacked stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # stacked stays in HBM
             pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
         ],

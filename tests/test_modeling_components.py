@@ -111,3 +111,43 @@ def test_subsample_positive_cap():
     _, is_pos, valid = subsample_labels(key, labels, 64, 0.25)
     assert int((is_pos & valid).sum()) == 16  # capped at fraction
     assert int(valid.sum()) == 64
+
+
+def test_s2d_stem_matches_plain_conv_stem():
+    """The space-to-depth stem must be ARITHMETICALLY identical to the
+    7x7/2 conv stem given the same [7,7,3,64] kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tensorflow_tpu.models.backbones.resnet import Stem
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 64, 96, 3)).astype(np.float32)
+    )
+    plain = Stem(norm="", space_to_depth=False)
+    fast = Stem(norm="", space_to_depth=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    # Same parameter tree (the converters' contract).
+    v2 = fast.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    with jax.default_matmul_precision("highest"):
+        y0 = plain.apply(v, x)
+        y1 = fast.apply(v, x)
+    assert y0.shape == y1.shape == (2, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-4)
+
+
+def test_s2d_stem_with_frozen_bn_tree():
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tensorflow_tpu.models.backbones.resnet import Stem
+
+    x = jnp.zeros((1, 32, 32, 3))
+    v_plain = Stem(norm="FrozenBN", space_to_depth=False).init(
+        jax.random.PRNGKey(0), x
+    )
+    v_fast = Stem(norm="FrozenBN", space_to_depth=True).init(
+        jax.random.PRNGKey(0), x
+    )
+    assert jax.tree_util.tree_structure(v_plain) == jax.tree_util.tree_structure(v_fast)

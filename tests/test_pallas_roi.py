@@ -5,12 +5,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from detectron2_tensorflow_tpu.models.poolers import (
-    DEFAULT_PATCH,
-    _interp_weights,
-    assign_boxes_to_levels,
     multilevel_roi_align,
+    plan_pooling,
 )
 from detectron2_tensorflow_tpu.ops.pallas.roi_patch import roi_patch_interpolate
+
+
+def _boxes(rng, n=16, w=384, h=256):
+    ctr = rng.uniform(40, 200, (n, 2))
+    size = rng.uniform(10, 120, (n, 1)) * rng.uniform(0.8, 1.25, (n, 2))
+    return np.clip(
+        np.concatenate([ctr - size / 2, ctr + size / 2], 1), 0, [w, h, w, h]
+    ).astype(np.float32)
 
 
 def test_pallas_kernel_matches_xla_path_interpret():
@@ -20,45 +26,60 @@ def test_pallas_kernel_matches_xla_path_interpret():
         for i in range(4)
     ]
     strides = [4, 8, 16, 32]
-    ctr = rng.uniform(40, 200, (16, 2))
-    size = rng.uniform(10, 120, (16, 1)) * rng.uniform(0.8, 1.25, (16, 2))
-    boxes = np.clip(
-        np.concatenate([ctr - size / 2, ctr + size / 2], 1), 0, [384, 256, 384, 256]
-    ).astype(np.float32)
-    jb = jnp.asarray(boxes)
+    jb = jnp.asarray(_boxes(rng))
 
-    want = multilevel_roi_align(feats, jb, strides, 7, 2, use_pallas=False)
+    for patch, extra in ((56, 0), (32, 1)):
+        want = multilevel_roi_align(
+            feats, jb, strides, 7, 2, patch_size=patch, extra_levels=extra,
+            use_pallas=False,
+        )
+        storage, starts, wy, wx = plan_pooling(
+            feats, jb, strides, 7, 2, 224, 4, patch, extra
+        )
+        got = roi_patch_interpolate(storage, starts, wy, wx, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
+        )
 
-    # Rebuild the kernel inputs exactly as multilevel_roi_align does.
-    p = DEFAULT_PATCH
-    h_max = max(max(f.shape[0] for f in feats), p)
-    w_max = max(max(f.shape[1] for f in feats), p)
-    stacked = jnp.stack(
-        [
-            jnp.pad(f, ((0, h_max - f.shape[0]), (0, w_max - f.shape[1]), (0, 0)))
-            for f in feats
-        ]
-    )
-    levels = assign_boxes_to_levels(jb, 2, 5, patch_size=p)
-    scales = jnp.take(jnp.asarray([1 / s for s in strides], jnp.float32), levels)
-    h_l = jnp.take(jnp.asarray([f.shape[0] for f in feats], jnp.float32), levels)
-    w_l = jnp.take(jnp.asarray([f.shape[1] for f in feats], jnp.float32), levels)
-    scaled = jb * scales[:, None]
-    s = 14
-    steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    ys = (scaled[:, 1] - 0.5)[:, None] + steps[None] * (scaled[:, 3] - scaled[:, 1])[:, None]
-    xs = (scaled[:, 0] - 0.5)[:, None] + steps[None] * (scaled[:, 2] - scaled[:, 0])[:, None]
-    ty = jnp.clip(jnp.floor(jnp.clip(ys[:, 0], 0.0, None)), 0.0, h_max - p)
-    tx = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)), 0.0, w_max - p)
-    tx = jnp.floor(tx / 8) * 8
-    wy = _interp_weights(ys, ty, h_l, p, 7, 2)
-    wx = _interp_weights(xs, tx, w_l, p, 7, 2)
-    starts = jnp.stack([levels, ty.astype(jnp.int32), tx.astype(jnp.int32)], 1)
 
-    got = roi_patch_interpolate(stacked, starts, wy, wx, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
-    )
+def test_small_patch_with_extra_level_matches_big_patch_for_small_boxes():
+    """Boxes whose extent fits the big patch at their FPN level must pool
+    IDENTICALLY under the (small patch + extra level) plan — only oversize
+    boxes are rerouted to the averaged level."""
+    rng = np.random.default_rng(2)
+    feats = [
+        jnp.asarray(rng.standard_normal((64 // 2**i, 96 // 2**i, 64)).astype(np.float32))
+        for i in range(4)
+    ]
+    strides = [4, 8, 16, 32]
+    jb = jnp.asarray(_boxes(rng))  # all sides <= 120 px -> extent <= 30 cells
+
+    big = multilevel_roi_align(feats, jb, strides, 7, 2, patch_size=56,
+                               extra_levels=0, use_pallas=False)
+    small = multilevel_roi_align(feats, jb, strides, 7, 2, patch_size=40,
+                                 extra_levels=1, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(big), np.asarray(small),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_oversize_box_pools_from_averaged_level_not_truncated():
+    """A box wider than (P-9)*top_stride must produce NONZERO pooled
+    features everywhere (the old single-plane plan silently zeroed the
+    out-of-patch region)."""
+    rng = np.random.default_rng(3)
+    feats = [
+        jnp.asarray(
+            rng.uniform(1.0, 2.0, (256 // 2**i, 384 // 2**i, 32)).astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    strides = [4, 8, 16, 32]
+    # 1500-px-wide box at a 1536-px image: extent 47 cells at stride 32.
+    box = jnp.asarray([[8.0, 100.0, 1508.0, 400.0]])
+    out = multilevel_roi_align(feats, box, strides, 7, 2, patch_size=32,
+                               extra_levels=1, use_pallas=False)
+    # all features are >= 1.0, so every pooled cell must be clearly nonzero
+    assert float(np.asarray(out).min()) > 0.5, np.asarray(out).min()
 
 
 def test_pallas_backward_matches_manual_scatter_interpret():
@@ -66,15 +87,14 @@ def test_pallas_backward_matches_manual_scatter_interpret():
 
     rng = np.random.default_rng(1)
     n, s, p, c = 5, 7, 56, 128
-    shape = (2, 64, 64, c)
+    shape = (128, 64, c)  # row-concatenated plane
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     starts = jnp.asarray(
         np.stack(
             [
-                rng.integers(0, 2, n),
-                rng.integers(0, 64 - p + 1, n),
+                rng.integers(0, 128 - p + 1, n),
                 rng.integers(0, (64 - p) // 8 + 1, n) * 8,
             ],
             axis=1,
@@ -87,6 +107,30 @@ def test_pallas_backward_matches_manual_scatter_interpret():
     for i in range(n):
         a = np.einsum("op,ouc->puc", np.asarray(wy[i]), np.asarray(g[i]))
         gp = np.einsum("uq,puc->pqc", np.asarray(wx[i]), a)
-        l, ty, tx = [int(v) for v in starts[i]]
-        want[l, ty : ty + p, tx : tx + p] += gp
+        row, tx = [int(v) for v in starts[i]]
+        want[row : row + p, tx : tx + p] += gp
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
+
+
+def test_pooler_gradient_flows_through_storage():
+    """d(pooled)/d(features) must reach every level through the
+    concatenated storage (and the averaged extra level)."""
+    rng = np.random.default_rng(4)
+    feats = [
+        jnp.asarray(rng.standard_normal((32 // 2**i, 48 // 2**i, 16)).astype(np.float32))
+        for i in range(3)
+    ]
+    strides = [4, 8, 16]
+    boxes = jnp.asarray(
+        [[4.0, 4.0, 24.0, 24.0], [10.0, 10.0, 120.0, 110.0]], jnp.float32
+    )
+
+    def loss(fs):
+        out = multilevel_roi_align(fs, boxes, strides, 7, 2, patch_size=24,
+                                   extra_levels=1, use_pallas=False)
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss)(feats)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in grads)
+    # the small box pools from level 0 -> its gradient is nonzero there
+    assert float(jnp.abs(grads[0]).sum()) > 0
