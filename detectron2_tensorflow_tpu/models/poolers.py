@@ -12,12 +12,12 @@ matmuls against precomputed hat-weight matrices:
 
     out[n] = Wy[n] (S x P)  @  patch[n] (P x P x C)  @  Wx[n]^T
 
-which run on the MXU at negligible cost. Level assignment is the FPN rule
-plus an extent bound (level raised until max(w, h)/stride <= P-2) so every
-ROI's sample span fits its patch — this deviates from pure-area assignment
-only for extreme-aspect-ratio boxes, where pooling from one level coarser is
-an accepted approximation. Sampling math (half-pixel offsets, [-1, size]
-zero border, clamp) is exactly Detectron2's aligned=True.
+which run on the MXU at negligible cost. Level assignment is the pure FPN
+area rule; boxes whose sample span would overflow the (small) patch pool
+from a 2x/4x-avgpooled ALIAS of the same level (see plan_pooling — same
+features at lower resolution, not a different FPN level). Sampling math
+(half-pixel offsets, [-1, size] zero border, clamp) is exactly Detectron2's
+aligned=True.
 """
 
 from __future__ import annotations
@@ -92,6 +92,13 @@ def _interp_weights(coords, ty, size_l, patch_size, out_size, ratio):
     return w  # [N, out, P]
 
 
+def _avgpool2x(f: jnp.ndarray) -> jnp.ndarray:
+    hh, ww = f.shape[0] // 2 * 2, f.shape[1] // 2 * 2
+    return f[:hh, :ww].reshape(
+        hh // 2, 2, ww // 2, 2, f.shape[-1]
+    ).mean(axis=(1, 3)).astype(f.dtype)
+
+
 def plan_pooling(
     features: List[jnp.ndarray],
     boxes: jnp.ndarray,
@@ -101,7 +108,7 @@ def plan_pooling(
     canonical_box_size: int,
     canonical_level: int,
     patch_size: int,
-    extra_levels: int,
+    extent_tiers: bool = False,
 ):
     """Shared front half of the pooler: storage layout + per-ROI plan.
 
@@ -117,22 +124,25 @@ def plan_pooling(
     level extent and the hat weight at distance >= 1 is exactly 0), so the
     reads are harmless.
 
-    ``extra_levels`` appends 2x2-avgpooled copies of the top level so the
-    extent rule can bound EVERY box's sample span by a small patch: a box
-    longer than (P-9)*top_stride pools from a coarser averaged map instead
-    of silently truncating. (Deviation from D2 for boxes > ~0.9x the image
-    side; documented.)
+    ``extent_tiers`` bounds EVERY box's sample span by a SMALL patch
+    (P^2 drives the per-ROI DMA bytes) without changing which FPN level a
+    box READS ITS FEATURES FROM: each level gets a 2x-avgpooled pooling
+    alias, and the top level additionally a 4x one. A box whose extent
+    exceeds (P - margin) cells at its area-rule level samples the SAME
+    level's features at half resolution (bins there span 3+ cells, so the
+    half-res bilinear loses almost nothing) — NOT the next FPN level's
+    different features. Tier routing: exact -> own-level 2x -> top 4x.
     """
     features = list(features)
     strides = list(strides)
-    for _ in range(extra_levels):
-        top = features[-1]
-        hh, ww = top.shape[0] // 2 * 2, top.shape[1] // 2 * 2
-        pooled = top[:hh, :ww].reshape(
-            hh // 2, 2, ww // 2, 2, top.shape[-1]
-        ).mean(axis=(1, 3))
-        features.append(pooled)
-        strides.append(strides[-1] * 2)
+    base_l = len(features)
+    if extent_tiers:
+        for i in range(base_l):  # tier-1: 2x alias of every level
+            features.append(_avgpool2x(features[i]))
+            strides.append(strides[i] * 2)
+        # tier-2: 4x alias of the top level (covers any legal box)
+        features.append(_avgpool2x(features[2 * base_l - 1]))
+        strides.append(strides[base_l - 1] * 4)
 
     c = features[0].shape[-1]
     s = output_size * sampling_ratio
@@ -159,11 +169,28 @@ def plan_pooling(
     offsets = jnp.asarray(row_offsets, jnp.int32)
 
     min_level = int(math.log2(strides[0]))
-    fpn_max_level = int(math.log2(strides[len(strides) - 1 - extra_levels]))
-    levels = assign_boxes_to_levels(
-        boxes, min_level, fpn_max_level, canonical_box_size, canonical_level,
-        patch_size=p, extent_max_level=fpn_max_level + extra_levels,
-    )  # [N], 0-based
+    if extent_tiers:
+        fpn_max_level = min_level + base_l - 1
+        base = assign_boxes_to_levels(
+            boxes, min_level, fpn_max_level, canonical_box_size,
+            canonical_level,
+        )  # pure D2 area rule, 0-based
+        bw = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+        bh = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+        max_side = jnp.maximum(bw, bh)
+        bound = float(p - _EXTENT_MARGIN)
+        base_stride = jnp.take(
+            jnp.asarray(strides[:base_l], jnp.float32), base
+        )
+        extent = max_side / base_stride
+        levels = jnp.where(extent > bound, base + base_l, base)
+        levels = jnp.where(extent > 2 * bound, 2 * base_l, levels)
+    else:
+        fpn_max_level = int(math.log2(strides[-1]))
+        levels = assign_boxes_to_levels(
+            boxes, min_level, fpn_max_level, canonical_box_size,
+            canonical_level, patch_size=p,
+        )  # [N], 0-based
 
     scale = jnp.take(scales, levels)
     h_l = jnp.take(heights, levels)
@@ -206,7 +233,7 @@ def multilevel_roi_align(
     canonical_box_size: int = 224,
     canonical_level: int = 4,
     patch_size: int = DEFAULT_PATCH,
-    extra_levels: int = 0,
+    extent_tiers: bool = False,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Pool [N, 4] xyxy boxes from a feature pyramid (list of [Hl, Wl, C]).
@@ -222,7 +249,7 @@ def multilevel_roi_align(
 
     storage, starts, wy, wx = plan_pooling(
         features, boxes, strides, output_size, sampling_ratio,
-        canonical_box_size, canonical_level, p, extra_levels,
+        canonical_box_size, canonical_level, p, extent_tiers,
     )
 
     if use_pallas is None:
@@ -257,22 +284,17 @@ TARGET_PATCH = 32  # patch DMA bytes scale with P^2 — keep it small
 
 
 def plan_patch(max_image_size: int, top_stride: int,
-               target: int = TARGET_PATCH, max_extra: int = 2):
-    """(patch_size, extra_levels) covering a full-image-wide ROI.
+               target: int = TARGET_PATCH):
+    """(patch_size, extent_tiers) covering a full-image-wide ROI.
 
-    A box can never be longer than the padded image's long side. The patch
-    must cover max_side/stride + margin cells at the ROI's level; appending
-    2x-avgpooled extra levels halves that requirement per level, so a SMALL
-    patch (3x less DMA traffic than the 56-cell worst case at stride 32)
-    covers every legal box. Extra levels only ever receive boxes the plain
-    pyramid would silently TRUNCATE (side > (P-9)*top_stride)."""
-    patch = DEFAULT_PATCH
-    for extra in range(max_extra + 1):
-        need = -(-max_image_size // (top_stride << extra)) + _EXTENT_MARGIN
-        patch = -(-need // _ALIGN) * _ALIGN
-        if patch <= target:
-            return max(patch, 16), extra
-    return max(patch, 16), max_extra
+    A box can never be longer than the padded image's long side. With the
+    extent-tier aliases (plan_pooling) the worst requirement is the 4x-top
+    tier: max_side/(4*top_stride) + margin cells. A SMALL patch (P^2
+    drives the per-ROI DMA bytes — 3x less traffic at 32 vs the 56-cell
+    single-plane worst case at stride 32) then covers every legal box."""
+    need = -(-max_image_size // (4 * top_stride)) + _EXTENT_MARGIN
+    patch = max(-(-need // _ALIGN) * _ALIGN, 16, min(target, 32))
+    return patch, True
 
 
 def patch_size_for(max_image_size: int, top_stride: int) -> int:
@@ -302,11 +324,11 @@ class ROIPooler:
         self.canonical_box_size = canonical_box_size
         self.canonical_level = canonical_level
         if max_image_size:
-            self.patch_size, self.extra_levels = plan_patch(
+            self.patch_size, self.extent_tiers = plan_patch(
                 max_image_size, self.strides[-1]
             )
         else:
-            self.patch_size, self.extra_levels = DEFAULT_PATCH, 0
+            self.patch_size, self.extent_tiers = DEFAULT_PATCH, False
 
     def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
         """features: per-level [Hl, Wl, C] (single image); boxes [N, 4]."""
@@ -330,5 +352,5 @@ class ROIPooler:
             self.canonical_box_size,
             self.canonical_level,
             patch_size=self.patch_size,
-            extra_levels=self.extra_levels,
+            extent_tiers=self.extent_tiers,
         )

@@ -28,13 +28,13 @@ def test_pallas_kernel_matches_xla_path_interpret():
     strides = [4, 8, 16, 32]
     jb = jnp.asarray(_boxes(rng))
 
-    for patch, extra in ((56, 0), (32, 1)):
+    for patch, tiers in ((56, False), (32, True)):
         want = multilevel_roi_align(
-            feats, jb, strides, 7, 2, patch_size=patch, extra_levels=extra,
+            feats, jb, strides, 7, 2, patch_size=patch, extent_tiers=tiers,
             use_pallas=False,
         )
         storage, starts, wy, wx = plan_pooling(
-            feats, jb, strides, 7, 2, 224, 4, patch, extra
+            feats, jb, strides, 7, 2, 224, 4, patch, tiers
         )
         got = roi_patch_interpolate(storage, starts, wy, wx, interpret=True)
         np.testing.assert_allclose(
@@ -42,22 +42,30 @@ def test_pallas_kernel_matches_xla_path_interpret():
         )
 
 
-def test_small_patch_with_extra_level_matches_big_patch_for_small_boxes():
-    """Boxes whose extent fits the big patch at their FPN level must pool
-    IDENTICALLY under the (small patch + extra level) plan — only oversize
-    boxes are rerouted to the averaged level."""
+def test_small_patch_with_tiers_matches_big_patch_for_fitting_boxes():
+    """Boxes whose extent fits the patch bound at their area-rule level must
+    pool IDENTICALLY under the tiered plan — only overflowing boxes are
+    rerouted to the same level's averaged alias."""
     rng = np.random.default_rng(2)
     feats = [
         jnp.asarray(rng.standard_normal((64 // 2**i, 96 // 2**i, 64)).astype(np.float32))
         for i in range(4)
     ]
     strides = [4, 8, 16, 32]
-    jb = jnp.asarray(_boxes(rng))  # all sides <= 120 px -> extent <= 30 cells
+    boxes = _boxes(rng)
+    # keep boxes whose extent at the area-rule level fits bound = 40-9 = 31
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    lv = np.clip(np.floor(4 + np.log2(np.sqrt(areas) / 224 + 1e-8)), 2, 5)
+    ext = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]) / (
+        2.0 ** lv
+    )
+    jb = jnp.asarray(boxes[ext <= 31])
+    assert len(jb) >= 8
 
     big = multilevel_roi_align(feats, jb, strides, 7, 2, patch_size=56,
-                               extra_levels=0, use_pallas=False)
+                               extent_tiers=False, use_pallas=False)
     small = multilevel_roi_align(feats, jb, strides, 7, 2, patch_size=40,
-                                 extra_levels=1, use_pallas=False)
+                                 extent_tiers=True, use_pallas=False)
     np.testing.assert_allclose(np.asarray(big), np.asarray(small),
                                atol=1e-5, rtol=1e-5)
 
@@ -77,7 +85,7 @@ def test_oversize_box_pools_from_averaged_level_not_truncated():
     # 1500-px-wide box at a 1536-px image: extent 47 cells at stride 32.
     box = jnp.asarray([[8.0, 100.0, 1508.0, 400.0]])
     out = multilevel_roi_align(feats, box, strides, 7, 2, patch_size=32,
-                               extra_levels=1, use_pallas=False)
+                               extent_tiers=True, use_pallas=False)
     # all features are >= 1.0, so every pooled cell must be clearly nonzero
     assert float(np.asarray(out).min()) > 0.5, np.asarray(out).min()
 
@@ -127,7 +135,7 @@ def test_pooler_gradient_flows_through_storage():
 
     def loss(fs):
         out = multilevel_roi_align(fs, boxes, strides, 7, 2, patch_size=24,
-                                   extra_levels=1, use_pallas=False)
+                                   extent_tiers=True, use_pallas=False)
         return jnp.sum(out**2)
 
     grads = jax.grad(loss)(feats)
