@@ -1,0 +1,88 @@
+"""Benchmark: Mask R-CNN R50-FPN TRAINING step images/sec on one chip.
+
+Companion to bench.py (the driver runs bench.py's single inference line;
+this script gives the training-side number for STATUS/records). Baseline:
+Detectron2 model zoo Mask R-CNN R50-FPN 1x trains at 0.2607 s/iter for 16
+images on 8 V100s = ~7.7 img/s per GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V100_TRAIN_IMG_S = 7.7  # per-GPU, D2 model zoo 1x schedule
+
+
+def main():
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.engine import build_train_step, create_train_state
+    from detectron2_tensorflow_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.DTYPE = "bfloat16"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.NECK.NAME = "FPN"
+    cfg.MODEL.NECK.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.AUTO_SCALE_LR_SCHEDULE = False
+    cfg.INPUT.MAX_GT_INSTANCES = 64
+
+    model = build_model(cfg)
+    b = cfg.SOLVER.IMS_PER_BATCH
+    h, w = 800, 1344
+    rng = np.random.default_rng(0)
+    g = 64
+    boxes = np.zeros((b, g, 4), np.float32)
+    boxes[..., :2] = rng.uniform(0, 600, (b, g, 2))
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(20, 200, (b, g, 2))
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)),
+        "image_size": jnp.tile(jnp.array([[800, 1333]], jnp.int32), (b, 1)),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray(rng.integers(0, 80, (b, g)), jnp.int32),
+        "gt_valid": jnp.ones((b, g), bool),
+        "gt_is_crowd": jnp.zeros((b, g), bool),
+        "gt_masks": jnp.asarray(
+            rng.uniform(0, 1, (b, g, 56, 56)).astype(np.float32)
+        ),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    step = build_train_step(cfg, model, state.params)
+
+    state, metrics = step(state, batch)
+    _ = jax.device_get(metrics["total_loss"])  # sync barrier
+
+    n = 12
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch)
+    _ = jax.device_get(metrics["total_loss"])
+    dt = (time.perf_counter() - t0) / n
+    img_s = b / dt
+    print(json.dumps({
+        "metric": "maskrcnn_r50_fpn_train_images_per_sec_per_chip",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / V100_TRAIN_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

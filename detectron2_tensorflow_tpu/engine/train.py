@@ -248,6 +248,12 @@ def train(
                     it + 1,
                     {**{k: float(v) for k, v in metrics.items()}, "sec_per_iter": dt},
                 )
+                # Per-variable histograms at checkpoint cadence (reference
+                # trainer.py:146-155 records every model variable).
+                if (it + 1) % max(cfg.SOLVER.SHORT_TERM_SAVE_STEPS, 1) == 0:
+                    metric_logger.log_histograms(
+                        it + 1, jax.device_get(state.params)
+                    )
         if ckpt_mgr is not None:
             ckpt_mgr.save(it + 1, args=_ckpt_args(state))
         if eval_period > 0 and (it + 1) % eval_period == 0 and it + 1 < max_iter:

@@ -230,3 +230,33 @@ def max_pool(x: jnp.ndarray, window: int, stride: int, padding="SAME") -> jnp.nd
     return nn.max_pool(
         x, window_shape=(window, window), strides=(stride, stride), padding=padding
     )
+
+
+class GCN(nn.Module):
+    """Global Convolutional Network block (Peng et al. 2017): two separable
+    large-kernel branches, (k x 1 -> 1 x k) + (1 x k -> k x 1), summed — a
+    k x k receptive field at O(k) cost, MXU-friendly as four plain convs.
+
+    The reference ships a GCN layer (convolutional.py:896-1006) that cannot
+    even construct (undefined ``stride``/``rate`` in its __init__ — unused
+    by any config, SURVEY §2.7); this is a correct implementation.
+    """
+
+    features: int
+    kernel_size: int = 15
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = self.kernel_size
+
+        def conv(name, kh, kw, inp):
+            return nn.Conv(
+                self.features, (kh, kw), padding="SAME",
+                use_bias=self.use_bias, dtype=self.dtype, name=name,
+            )(inp)
+
+        left = conv("l2", 1, k, conv("l1", k, 1, x))
+        right = conv("r2", k, 1, conv("r1", 1, k, x))
+        return left + right

@@ -58,6 +58,23 @@ class MetricLogger:
                 for k, v in metrics.items():
                     tf.summary.scalar(k, float(v), step=int(step))
 
+    def log_histograms(self, step: int, params, prefix: str = "params") -> None:
+        """Per-variable weight histograms (reference trainer.py:146-155
+        model-variable summaries), flattened by parameter path."""
+        if self._tb is None:
+            return
+        import jax
+        import numpy as np
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            flat, _ = jax.tree_util.tree_flatten_with_path(params)
+            for path, leaf in flat:
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                tf.summary.histogram(
+                    f"{prefix}/{name}", np.asarray(leaf), step=int(step)
+                )
+
     def log_image(self, step: int, tag: str, image) -> None:
         """Write an annotated image summary (EVAL.MAX_EXAMPLE_TO_DRAW path —
         reference evaluation.py:288-297 image summaries)."""

@@ -151,3 +151,29 @@ def test_s2d_stem_with_frozen_bn_tree():
         jax.random.PRNGKey(0), x
     )
     assert jax.tree_util.tree_structure(v_plain) == jax.tree_util.tree_structure(v_fast)
+
+
+def test_gcn_layer():
+    """GCN = (kx1 -> 1xk) + (1xk -> kx1); a kxk receptive field at O(k)
+    parameters (the reference's own GCN cannot construct — ours works)."""
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tensorflow_tpu.models.layers import GCN
+
+    gcn = GCN(features=8, kernel_size=7)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 16, 16, 4)), jnp.float32)
+    v = gcn.init(jax.random.PRNGKey(0), x)
+    y = gcn.apply(v, x)
+    assert y.shape == (1, 16, 16, 8)
+    # Parameter count is linear in k: 2 branches x (k*1*cin*co + 1*k*co*co)
+    n_params = sum(p.size for p in jax.tree.leaves(v["params"]))
+    assert n_params == 2 * (7 * 4 * 8 + 7 * 8 * 8) + 4 * 8  # + biases
+
+    # Receptive field: a centered impulse reaches the (k//2, k//2) corner
+    # through the composed branches, which a plain 1-D cross could not.
+    imp = jnp.zeros((1, 16, 16, 4)).at[0, 8, 8, 0].set(1.0)
+    out = gcn.apply(v, imp)
+    reach = np.abs(np.asarray(out[0, :, :, 0])) > 1e-9
+    assert reach[8 - 3, 8 - 3] and reach[8 + 3, 8 + 3]
+    assert not reach[8 - 4, 8]  # nothing beyond k//2
