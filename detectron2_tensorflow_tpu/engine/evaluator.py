@@ -85,8 +85,12 @@ def evaluate(
     max_images: Optional[int] = None,
     metric_logger=None,
     step: int = 0,
+    results_writer=None,
 ) -> Dict[str, float]:
     """Run the detection-family evaluation loop.
+
+    ``results_writer``: optional evaluation.coco_results.CocoResultsWriter —
+    every kept detection is also recorded in COCO results-JSON form.
 
     Evaluators come from ``EVAL.METRICS``; with the default config
     (coco_detection_metrics only), mask and keypoint COCO evaluators are
@@ -121,6 +125,12 @@ def evaluate(
     class_names = getattr(dataset, "class_names", None) or getattr(
         dataset, "thing_classes", None
     )
+    if cfg.EVAL.INCLUDE_METRICS_PER_CATEGORY and class_names:
+        # Per-category AP rows (reference evaluation.py per-category knob).
+        for ev, _ in evaluators.values():
+            if isinstance(ev, CocoEvaluator):
+                ev.per_category = True
+                ev.class_names = list(class_names)
     for batch in data_iter:
         out = predict(variables, batch)
         out = jax.device_get(out)
@@ -187,6 +197,11 @@ def evaluate(
                     gt_k = dict(gt)
                     gt_k["keypoints"] = raw["keypoints"]
                     ev.add_image(gt_k, {**det, "keypoints": det_kps})
+
+            if results_writer is not None:
+                results_writer.add_image(
+                    image_id, boxes, scores, classes, det_masks, det_kps
+                )
 
             if n_drawn < max_draw:
                 from ..evaluation.visualization import draw_eval_image
@@ -279,6 +294,7 @@ def run_evaluation(
     max_images: Optional[int] = None,
     metric_logger=None,
     step: int = 0,
+    results_writer=None,
 ) -> Dict[str, float]:
     """Dispatch on EVAL.METRICS across the three evaluation families
     (reference evaluation.py:18-35 registry + EvaluationHook routing).
@@ -304,7 +320,8 @@ def run_evaluation(
     for fam in families:
         kwargs = {}
         if fam is evaluate:  # image summaries only on the detection loop
-            kwargs = {"metric_logger": metric_logger, "step": step}
+            kwargs = {"metric_logger": metric_logger, "step": step,
+                      "results_writer": results_writer}
         metrics.update(
             fam(cfg, model, variables, dataset, fresh_iter(), max_images,
                 **kwargs)

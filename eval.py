@@ -26,6 +26,10 @@ def parse_args():
     p.add_argument("--checkpoint", default=None, help="explicit checkpoint path")
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument(
+        "--dump_results", default=None,
+        help="write detections as a COCO results JSON (pycocotools-ready)",
+    )
+    p.add_argument(
         "--watch", type=int, default=0,
         help="poll interval (s) for continuous evaluation of new checkpoints",
     )
@@ -118,9 +122,22 @@ def main():
 
     def eval_once():
         variables = load_variables(cfg, model, sample, ckpt)
+        writer = None
+        if args.dump_results:
+            from detectron2_tensorflow_tpu.evaluation.coco_results import (
+                CocoResultsWriter,
+            )
+
+            writer = CocoResultsWriter(
+                getattr(dataset, "contiguous_to_cat_id", None)
+            )
         metrics = run_evaluation(
-            cfg, model, variables, dataset, data_iter, args.max_images
+            cfg, model, variables, dataset, data_iter, args.max_images,
+            results_writer=writer,
         )
+        if writer is not None:
+            n = writer.save(args.dump_results)
+            logging.info("wrote %d records to %s", n, args.dump_results)
         for k, v in sorted(metrics.items()):
             print(f"{k}: {v:.3f}")
         return metrics
