@@ -118,12 +118,17 @@ def tta_predict(cfg, model, variables, batch: Dict) -> Instances:
         cfg.TEST.DETECTIONS_PER_IMAGE,
         valid=valid,
     )
-    return Instances(
+    merged = Instances(
         boxes=out_boxes[None],
         scores=jnp.where(out_valid, out_scores, 0.0)[None],
         pred_classes=jnp.where(out_valid, jnp.take(classes, out_idx), -1)[None],
         is_valid=out_valid[None],
     )
+    # Mask TTA (D2 semantics): re-run the per-ROI heads on the MERGED boxes
+    # at the original resolution (the reference's detected_instances path).
+    if getattr(model, "predict_with_boxes", None) is not None and cfg.MODEL.MASK_ON:
+        merged = jax.jit(model.predict_with_boxes)(variables, batch, merged)
+    return merged
 
 
 def precise_bn(model, variables, data_iter: Iterable[Dict], num_iters: int,

@@ -73,11 +73,16 @@ class DetectorModel:
     functionally.
     """
 
-    def __init__(self, module, init_fn, loss_fn, predict_fn, initial_state=None):
+    def __init__(self, module, init_fn, loss_fn, predict_fn, initial_state=None,
+                 predict_with_boxes=None):
         self.module = module
         self._init = init_fn
         self.loss_fn = loss_fn
         self.predict = predict_fn
+        # Optional: inference on GIVEN boxes (the reference's
+        # detected_instances path, rcnn.py:93-122) — recompute per-ROI
+        # outputs (masks/keypoints) for externally supplied detections.
+        self.predict_with_boxes = predict_with_boxes
         self.initial_state = initial_state if initial_state is not None else {}
 
     def init(self, rng, batch):

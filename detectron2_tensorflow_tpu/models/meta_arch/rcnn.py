@@ -310,9 +310,9 @@ class _RCNNDrivers:
         )
 
     def run_box(self, variables, features, boxes, stage, train, grad_scale=1.0,
-                tape=None, boxes_valid=None):
+                tape=None, boxes_valid=None, storage_pack=None):
         tape = tape or StatsTape(variables)
-        pooled = self.roi.pool_box_features(features, boxes)
+        pooled = self.roi.pool_box_features(features, boxes, storage_pack)
         if grad_scale != 1.0:
             pooled = scale_gradient(pooled, grad_scale)
         kwargs = {}
@@ -362,6 +362,11 @@ class _RCNNDrivers:
         if self.roi.proposal_append_gt:
             proposals = add_ground_truth_to_proposals(proposals, batch)
         sampled = self.roi.label_and_sample_proposals(rng_roi, proposals, batch)
+        # One storage build serves the box, mask and keypoint poolers.
+        storage_pack = (
+            self.roi.pooling_storage(features)
+            if hasattr(self.roi, "pooling_storage") else None
+        )
 
         inst_losses = {}
         roi_feats = None
@@ -374,6 +379,7 @@ class _RCNNDrivers:
                 scores, ds, _ = self.run_box(
                     variables, features, boxes, k, True,
                     grad_scale=1.0 / self.num_stages, tape=tape,
+                    storage_pack=storage_pack,
                 )
                 inst_losses.update(
                     self.roi.stage_losses(
@@ -387,7 +393,7 @@ class _RCNNDrivers:
         else:
             scores, ds, roi_feats = self.run_box(
                 variables, features, sampled.boxes, 0, True, tape=tape,
-                boxes_valid=sampled.valid,
+                boxes_valid=sampled.valid, storage_pack=storage_pack,
             )
             inst_losses.update(self.roi.box_losses(scores, ds, sampled))
 
@@ -400,7 +406,7 @@ class _RCNNDrivers:
                 mask_in = rf.reshape((-1,) + rf.shape[2:])
             else:
                 mask_in = self.roi.pool_mask_features(
-                    features, sampled.boxes[:, :m]
+                    features, sampled.boxes[:, :m], storage_pack
                 )
             mask_logits = tape.apply(
                 self.module, variables, mask_in, train=True, method="mask"
@@ -412,7 +418,7 @@ class _RCNNDrivers:
         if self.keypoint_on:
             m = self.roi.mask_slots
             kp_in = self.roi.pool_keypoint_features(
-                features, sampled.boxes[:, :m]
+                features, sampled.boxes[:, :m], storage_pack
             )
             kp_logits = tape.apply(
                 self.module, variables, kp_in, train=True, method="keypoint"
@@ -450,12 +456,19 @@ class _RCNNDrivers:
                 logits, deltas, image_sizes, training=False
             )
 
+        storage_pack = (
+            self.roi.pooling_storage(features)
+            if hasattr(self.roi, "pooling_storage") else None
+        )
         if self.is_cascade:
             boxes = proposals.proposal_boxes
             stage_scores = []
             ds = None
             for k in range(self.num_stages):
-                scores, ds, _ = self.run_box(variables, features, boxes, k, False)
+                scores, ds, _ = self.run_box(
+                    variables, features, boxes, k, False,
+                    storage_pack=storage_pack,
+                )
                 stage_scores.append(scores)
                 if k + 1 < self.num_stages:
                     boxes = self.roi.refine_boxes(k, ds, boxes, image_sizes)
@@ -465,19 +478,23 @@ class _RCNNDrivers:
         else:
             scores, ds, _ = self.run_box(
                 variables, features, proposals.proposal_boxes, 0, False,
-                boxes_valid=proposals.is_valid,
+                boxes_valid=proposals.is_valid, storage_pack=storage_pack,
             )
             detections = self.roi.box_inference(scores, ds, proposals, image_sizes)
 
         if self.mask_on:
             if self.is_res5:
-                pooled = self.roi.pool_box_features(features, detections.boxes)
+                pooled = self.roi.pool_box_features(
+                    features, detections.boxes, storage_pack
+                )
                 _, _, rf = self.module.apply(
                     variables, pooled, stage=0, train=False, method="box"
                 )
                 mask_in = rf
             else:
-                mask_in = self.roi.pool_mask_features(features, detections.boxes)
+                mask_in = self.roi.pool_mask_features(
+                    features, detections.boxes, storage_pack
+                )
             mask_logits = self.module.apply(
                 variables, mask_in, train=False, method="mask"
             )
@@ -486,7 +503,9 @@ class _RCNNDrivers:
             )
 
         if self.keypoint_on:
-            kp_in = self.roi.pool_keypoint_features(features, detections.boxes)
+            kp_in = self.roi.pool_keypoint_features(
+                features, detections.boxes, storage_pack
+            )
             kp_logits = self.module.apply(
                 variables, kp_in, train=False, method="keypoint"
             )
@@ -500,6 +519,47 @@ class _RCNNDrivers:
             ).astype(jnp.float32)
             detections = detections.replace(
                 sem_seg=jnp.argmax(sem_logits, axis=-1)
+            )
+        return detections
+
+    def predict_with_boxes_fn(self, variables, batch, detections):
+        """Per-ROI outputs for GIVEN detections (the reference's
+        ``inference(detected_instances=...)`` path, rcnn.py:93-122):
+        skip proposal+box stages, recompute masks/keypoints at the
+        supplied boxes. Used by TTA to attach masks to merged boxes."""
+        features = self.features_only(variables, batch, False)
+        storage_pack = (
+            self.roi.pooling_storage(features)
+            if hasattr(self.roi, "pooling_storage") else None
+        )
+        if self.mask_on:
+            if self.is_res5:
+                pooled = self.roi.pool_box_features(
+                    features, detections.boxes, storage_pack
+                )
+                _, _, rf = self.module.apply(
+                    variables, pooled, stage=0, train=False, method="box"
+                )
+                mask_in = rf
+            else:
+                mask_in = self.roi.pool_mask_features(
+                    features, detections.boxes, storage_pack
+                )
+            mask_logits = self.module.apply(
+                variables, mask_in, train=False, method="mask"
+            )
+            detections = self.roi.mask_inference(
+                mask_logits.astype(jnp.float32), detections
+            )
+        if self.keypoint_on:
+            kp_in = self.roi.pool_keypoint_features(
+                features, detections.boxes, storage_pack
+            )
+            kp_logits = self.module.apply(
+                variables, kp_in, train=False, method="keypoint"
+            )
+            detections = self.roi.keypoint_inference(
+                kp_logits.astype(jnp.float32), detections
             )
         return detections
 
@@ -529,7 +589,10 @@ def _make_model(cfg, with_sem_seg=False) -> DetectorModel:
         )
         return module.init(rng, drv.prep(batch), dummy_box, dummy_mask, train=False)
 
-    return DetectorModel(module, init_fn, drv.loss_fn, drv.predict_fn)
+    return DetectorModel(
+        module, init_fn, drv.loss_fn, drv.predict_fn,
+        predict_with_boxes=drv.predict_with_boxes_fn,
+    )
 
 
 @META_ARCH_REGISTRY.register(name="GeneralizedRCNN")

@@ -99,39 +99,34 @@ def _avgpool2x(f: jnp.ndarray) -> jnp.ndarray:
     ).mean(axis=(1, 3)).astype(f.dtype)
 
 
-def plan_pooling(
+class StorageMeta:
+    """Static (trace-time) description of a built pooling storage plane."""
+
+    def __init__(self, shapes, strides, base_l, patch_size, extent_tiers):
+        self.shapes = shapes              # [(h, w)] per storage level
+        self.strides = strides            # per storage level
+        self.base_l = base_l              # number of real FPN levels
+        self.patch_size = patch_size
+        self.extent_tiers = extent_tiers
+        self.w_max = max(max(w for _, w in shapes), patch_size)
+        offs, off = [], 0
+        for h, _ in shapes:
+            offs.append(off)
+            off += h
+        self.row_offsets = offs
+
+
+def build_storage(
     features: List[jnp.ndarray],
-    boxes: jnp.ndarray,
     strides: Sequence[int],
-    output_size: int,
-    sampling_ratio: int,
-    canonical_box_size: int,
-    canonical_level: int,
     patch_size: int,
     extent_tiers: bool = False,
 ):
-    """Shared front half of the pooler: storage layout + per-ROI plan.
+    """Build the row-concatenated pooling plane (see plan_pooling docstring).
 
-    Returns (storage [Htot, Wm, C], starts [N, 2] (row, col), wy, wx).
-
-    Storage is the pyramid ROW-CONCATENATED into a single [Htot, Wm, C]
-    plane (levels stacked top-to-bottom, each row-padded to the widest
-    level, plus ``patch_size`` zero rows at the bottom) — vs. a padded
-    [L, Hmax, Wmax, C] stack this writes ~60% fewer bytes to HBM, which at
-    production shapes is itself milliseconds per batch. A patch fetched
-    near a level's bottom edge may read into the next level's rows; those
-    rows always carry ZERO interpolation weight (samples are clamped to the
-    level extent and the hat weight at distance >= 1 is exactly 0), so the
-    reads are harmless.
-
-    ``extent_tiers`` bounds EVERY box's sample span by a SMALL patch
-    (P^2 drives the per-ROI DMA bytes) without changing which FPN level a
-    box READS ITS FEATURES FROM: each level gets a 2x-avgpooled pooling
-    alias, and the top level additionally a 4x one. A box whose extent
-    exceeds (P - margin) cells at its area-rule level samples the SAME
-    level's features at half resolution (bins there span 3+ cells, so the
-    half-res bilinear loses almost nothing) — NOT the next FPN level's
-    different features. Tier routing: exact -> own-level 2x -> top 4x.
+    Returns (storage [Htot, Wm, C], StorageMeta). Separated from the
+    per-ROI planning so the box / mask / keypoint poolers SHARE one storage
+    build (and one set of avgpool aliases) per image.
     """
     features = list(features)
     strides = list(strides)
@@ -145,31 +140,44 @@ def plan_pooling(
         strides.append(strides[base_l - 1] * 4)
 
     c = features[0].shape[-1]
-    s = output_size * sampling_ratio
     p = patch_size
-
-    w_max = max(max(f.shape[1] for f in features), p)
-    row_offsets = []
-    off = 0
-    for f in features:
-        row_offsets.append(off)
-        off += f.shape[0]
+    meta = StorageMeta(
+        [(f.shape[0], f.shape[1]) for f in features], strides, base_l, p,
+        extent_tiers,
+    )
     storage = jnp.concatenate(
         [
-            jnp.pad(f, ((0, 0), (0, w_max - f.shape[1]), (0, 0)))
+            jnp.pad(f, ((0, 0), (0, meta.w_max - f.shape[1]), (0, 0)))
             for f in features
         ]
-        + [jnp.zeros((p, w_max, c), features[0].dtype)],
+        + [jnp.zeros((p, meta.w_max, c), features[0].dtype)],
         axis=0,
     )
+    return storage, meta
 
-    heights = jnp.asarray([f.shape[0] for f in features], jnp.float32)
-    widths = jnp.asarray([f.shape[1] for f in features], jnp.float32)
+
+def plan_rois(
+    meta: StorageMeta,
+    boxes: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int,
+    canonical_box_size: int,
+    canonical_level: int,
+):
+    """Per-ROI plan against a built storage: (starts [N, 2], wy, wx)."""
+    strides = meta.strides
+    base_l = meta.base_l
+    p = meta.patch_size
+    s = output_size * sampling_ratio
+    w_max = meta.w_max
+
+    heights = jnp.asarray([h for h, _ in meta.shapes], jnp.float32)
+    widths = jnp.asarray([w for _, w in meta.shapes], jnp.float32)
     scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)
-    offsets = jnp.asarray(row_offsets, jnp.int32)
+    offsets = jnp.asarray(meta.row_offsets, jnp.int32)
 
     min_level = int(math.log2(strides[0]))
-    if extent_tiers:
+    if meta.extent_tiers:
         fpn_max_level = min_level + base_l - 1
         base = assign_boxes_to_levels(
             boxes, min_level, fpn_max_level, canonical_box_size,
@@ -221,6 +229,89 @@ def plan_pooling(
 
     rows = jnp.take(offsets, levels) + ty.astype(jnp.int32)
     starts = jnp.stack([rows, tx.astype(jnp.int32)], axis=1)  # [N, 2]
+    return starts, wy, wx
+
+
+def pool_from_storage(
+    storage: jnp.ndarray,
+    meta: StorageMeta,
+    boxes: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """ROIAlign [N, out, out, C] from a pre-built storage plane."""
+    if sampling_ratio <= 0:
+        sampling_ratio = 2
+    starts, wy, wx = plan_rois(
+        meta, boxes, output_size, sampling_ratio, canonical_box_size,
+        canonical_level,
+    )
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and storage.dtype == jnp.bfloat16
+        )
+    if use_pallas:
+        from ..ops.pallas.roi_patch import roi_patch_interpolate_diff
+
+        return roi_patch_interpolate_diff(storage, starts, wy, wx)
+
+    p = meta.patch_size
+    c = storage.shape[-1]
+
+    def fetch(st):
+        return jax.lax.dynamic_slice(storage, (st[0], st[1], 0), (p, p, c))
+
+    patches = jax.vmap(fetch)(starts)  # [N, P, P, C]
+    dt = storage.dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    a = jnp.einsum("nop,npqc->noqc", wy.astype(dt), patches, precision=prec)
+    return jnp.einsum("nuq,noqc->nouc", wx.astype(dt), a, precision=prec)
+
+
+def plan_pooling(
+    features: List[jnp.ndarray],
+    boxes: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int,
+    sampling_ratio: int,
+    canonical_box_size: int,
+    canonical_level: int,
+    patch_size: int,
+    extent_tiers: bool = False,
+):
+    """Shared front half of the pooler: storage layout + per-ROI plan.
+
+    Returns (storage [Htot, Wm, C], starts [N, 2] (row, col), wy, wx).
+
+    Storage is the pyramid ROW-CONCATENATED into a single [Htot, Wm, C]
+    plane (levels stacked top-to-bottom, each row-padded to the widest
+    level, plus ``patch_size`` zero rows at the bottom) — vs. a padded
+    [L, Hmax, Wmax, C] stack this writes ~60% fewer bytes to HBM, which at
+    production shapes is itself milliseconds per batch. A patch fetched
+    near a level's bottom edge may read into the next level's rows; those
+    rows always carry ZERO interpolation weight (samples are clamped to the
+    level extent and the hat weight at distance >= 1 is exactly 0), so the
+    reads are harmless.
+
+    ``extent_tiers`` bounds EVERY box's sample span by a SMALL patch
+    (P^2 drives the per-ROI DMA bytes) without changing which FPN level a
+    box READS ITS FEATURES FROM: each level gets a 2x-avgpooled pooling
+    alias, and the top level additionally a 4x one. A box whose extent
+    exceeds (P - margin) cells at its area-rule level samples the SAME
+    level's features at half resolution (bins there span 3+ cells, so the
+    half-res bilinear loses almost nothing) — NOT the next FPN level's
+    different features. Tier routing: exact -> own-level 2x -> top 4x.
+    """
+    storage, meta = build_storage(features, strides, patch_size, extent_tiers)
+    starts, wy, wx = plan_rois(
+        meta, boxes, output_size, sampling_ratio, canonical_box_size,
+        canonical_level,
+    )
     return storage, starts, wy, wx
 
 
@@ -242,42 +333,13 @@ def multilevel_roi_align(
     selects the fused Pallas kernel on TPU, the XLA path elsewhere.
     """
     assert len(features) == len(strides)
-    c = features[0].shape[-1]
     if sampling_ratio <= 0:
         sampling_ratio = 2  # static stand-in for D2's adaptive ceil rule
-    p = patch_size
-
-    storage, starts, wy, wx = plan_pooling(
-        features, boxes, strides, output_size, sampling_ratio,
-        canonical_box_size, canonical_level, p, extent_tiers,
+    storage, meta = build_storage(features, strides, patch_size, extent_tiers)
+    return pool_from_storage(
+        storage, meta, boxes, output_size, sampling_ratio,
+        canonical_box_size, canonical_level, use_pallas,
     )
-
-    if use_pallas is None:
-        # The fused kernel runs MXU-native (bf16-multiply) precision; the
-        # f32 parity path keeps the HIGHEST-precision XLA einsums.
-        use_pallas = (
-            jax.default_backend() == "tpu" and features[0].dtype == jnp.bfloat16
-        )
-    if use_pallas:
-        from ..ops.pallas.roi_patch import roi_patch_interpolate_diff
-
-        return roi_patch_interpolate_diff(storage, starts, wy, wx)
-
-    # XLA fallback (CPU/debug): vmapped patch slices + einsum interpolation.
-    def fetch(st):
-        return jax.lax.dynamic_slice(storage, (st[0], st[1], 0), (p, p, c))
-
-    patches = jax.vmap(fetch)(starts)  # [N, P, P, C]
-
-    dt = features[0].dtype
-    prec = (
-        jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
-    )
-    # out[n, o, q, c] = sum_p wy[n, o, p] * patch[n, p, q, c]
-    a = jnp.einsum("nop,npqc->noqc", wy.astype(dt), patches, precision=prec)
-    # out[n, o, u, c] = sum_q wx[n, u, q] * a[n, o, q, c]
-    out = jnp.einsum("nuq,noqc->nouc", wx.astype(dt), a, precision=prec)
-    return out
 
 
 TARGET_PATCH = 32  # patch DMA bytes scale with P^2 — keep it small
@@ -330,6 +392,21 @@ class ROIPooler:
         else:
             self.patch_size, self.extent_tiers = DEFAULT_PATCH, False
 
+    def build_storage(self, features: List[jnp.ndarray]):
+        """(storage, meta) for this pooler's layout — SHAREABLE with any
+        pooler holding the same (strides, patch_size, extent_tiers), i.e.
+        the box/mask/keypoint trio of one head."""
+        return build_storage(
+            features, self.strides, self.patch_size, self.extent_tiers
+        )
+
+    def pool(self, storage, meta, boxes: jnp.ndarray) -> jnp.ndarray:
+        """ROIAlign from a pre-built storage plane (single image)."""
+        return pool_from_storage(
+            storage, meta, boxes, self.output_size, self.sampling_ratio,
+            self.canonical_box_size, self.canonical_level,
+        )
+
     def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
         """features: per-level [Hl, Wl, C] (single image); boxes [N, 4]."""
         if len(features) == 1:
@@ -343,14 +420,5 @@ class ROIPooler:
                 self.sampling_ratio,
                 aligned=self.aligned,
             )
-        return multilevel_roi_align(
-            features,
-            boxes,
-            self.strides,
-            self.output_size,
-            self.sampling_ratio,
-            self.canonical_box_size,
-            self.canonical_level,
-            patch_size=self.patch_size,
-            extent_tiers=self.extent_tiers,
-        )
+        storage, meta = self.build_storage(features)
+        return self.pool(storage, meta, boxes)

@@ -141,27 +141,50 @@ class StandardROIHeads:
         return SampledProposals(*out)
 
     # -- pooling ----------------------------------------------------------------
-    def pool_box_features(self, features: Dict, boxes: jnp.ndarray) -> jnp.ndarray:
+    def pooling_storage(self, features: Dict):
+        """Build the (batched) pooling storage plane ONCE per image — the
+        box / mask / keypoint poolers share identical layouts, so the row
+        concatenation and avgpool extent-tier aliases are computed a single
+        time instead of once per pooler. Returns (storage [B, Htot, Wm, C],
+        meta) or None for the single-level (C4/DC5) path."""
+        feats = [features[f] for f in self.in_features]
+        if len(feats) == 1:
+            return None
+        meta_box = [None]
+
+        def one(per_image_feats):
+            st, meta = self.box_pooler.build_storage(per_image_feats)
+            meta_box[0] = meta
+            return st
+
+        storage = jax.vmap(one)([f for f in feats])
+        return storage, meta_box[0]
+
+    def _pool(self, pooler, features: Dict, boxes, storage_pack):
+        feats = [features[f] for f in self.in_features]
+        if storage_pack is None or len(feats) == 1:
+            pooled = jax.vmap(
+                lambda per_image_feats, b: pooler(per_image_feats, b)
+            )([f for f in feats], boxes)
+        else:
+            storage, meta = storage_pack
+            pooled = jax.vmap(
+                lambda st, b: pooler.pool(st, meta, b)
+            )(storage, boxes)
+        return pooled.reshape((-1,) + pooled.shape[2:])
+
+    def pool_box_features(self, features: Dict, boxes: jnp.ndarray,
+                          storage_pack=None) -> jnp.ndarray:
         """features: dict of [B, H, W, C]; boxes [B, N, 4] -> [B*N, S, S, C]."""
-        feats = [features[f] for f in self.in_features]
-        pooled = jax.vmap(
-            lambda per_image_feats, b: self.box_pooler(per_image_feats, b)
-        )([f for f in feats], boxes)
-        return pooled.reshape((-1,) + pooled.shape[2:])
+        return self._pool(self.box_pooler, features, boxes, storage_pack)
 
-    def pool_mask_features(self, features: Dict, boxes: jnp.ndarray) -> jnp.ndarray:
-        feats = [features[f] for f in self.in_features]
-        pooled = jax.vmap(
-            lambda per_image_feats, b: self.mask_pooler(per_image_feats, b)
-        )([f for f in feats], boxes)
-        return pooled.reshape((-1,) + pooled.shape[2:])
+    def pool_mask_features(self, features: Dict, boxes: jnp.ndarray,
+                           storage_pack=None) -> jnp.ndarray:
+        return self._pool(self.mask_pooler, features, boxes, storage_pack)
 
-    def pool_keypoint_features(self, features: Dict, boxes: jnp.ndarray) -> jnp.ndarray:
-        feats = [features[f] for f in self.in_features]
-        pooled = jax.vmap(
-            lambda per_image_feats, b: self.keypoint_pooler(per_image_feats, b)
-        )([f for f in feats], boxes)
-        return pooled.reshape((-1,) + pooled.shape[2:])
+    def pool_keypoint_features(self, features: Dict, boxes: jnp.ndarray,
+                               storage_pack=None) -> jnp.ndarray:
+        return self._pool(self.keypoint_pooler, features, boxes, storage_pack)
 
     # -- losses -------------------------------------------------------------------
     def box_losses(

@@ -253,3 +253,26 @@ def test_panoptic_eval_loop(tmp_path):
     all_metrics = run_evaluation(cfg, model, variables, ds, fresh)
     for k in ("bbox/AP", "segm/AP", "sem_seg/mIoU", "panoptic/PQ"):
         assert k in all_metrics and np.isfinite(all_metrics[k]), sorted(all_metrics)
+
+
+def test_tta_attaches_masks_via_given_boxes():
+    """TTA must produce pred_masks for MASK_ON models by re-running the
+    mask head on the merged boxes (the reference's detected_instances
+    inference path, rcnn.py:93-122)."""
+    cfg = _tiny_rcnn_cfg()
+    cfg.MODEL.MASK_ON = True
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (48,)
+    cfg.TEST.AUG.MAX_SIZE = 96
+    cfg.TEST.AUG.FLIP = False
+    model = build_model(cfg)
+    batch = {
+        "image": jnp.full((1, 64, 96, 3), 100.0),
+        "image_size": jnp.array([[64, 96]]),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = tta_predict(cfg, model, variables, batch)
+    assert "pred_masks" in out
+    assert out.pred_masks.shape[:2] == (1, 6)
+    m = np.asarray(out.pred_masks[0])
+    assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
