@@ -45,7 +45,7 @@ def main():
 
     model = build_model(cfg)
 
-    batch_size = 32
+    batch_size = 48
     h, w = 800, 1344  # COCO shortest-side-800 landscape bucket
     batch = {
         "image": jnp.full((batch_size, h, w, 3), 110.0, jnp.float32),

@@ -33,34 +33,54 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Narrow-DMA row tiers: a ROI whose weight-bearing row span fits tier r only
+# DMAs r of the patch's rows (models/poolers.plan_rois assigns the class in
+# starts[:, 2]). Sorted ascending; the full patch height is appended per call.
+ROW_TIERS = (16,)
 
-def _make_kernel(precision):
+
+def _make_kernel(precision, row_tiers):
     def kernel(starts_ref, stacked_ref, wy_ref, wx_ref, out_ref, patch_ref, sem_ref):
         i = pl.program_id(0)
         n = pl.num_programs(0)
+        p = patch_ref.shape[1]
+        tiers = [r for r in row_tiers if r < p] + [p]
 
-        def dma_for(idx, slot):
+        def dma_for(idx, slot, rows):
             row = starts_ref[idx, 0]
             tx = pl.multiple_of(starts_ref[idx, 1], 8)
-            p = patch_ref.shape[1]
             return pltpu.make_async_copy(
-                stacked_ref.at[pl.ds(row, p), pl.ds(tx, p), :],
-                patch_ref.at[slot],
+                stacked_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
+                patch_ref.at[slot, pl.ds(0, rows)],
                 sem_ref.at[slot],
             )
+
+        def tiered(idx, slot, op):
+            # The DMA is narrowed to the ROI's weight-bearing row tier
+            # (starts[:, 2]); start and wait branch identically so the
+            # awaited byte count matches the issued copy.
+            cls = starts_ref[idx, 2]
+            for k, r in enumerate(tiers):
+                @pl.when(cls == k)
+                def _(r=r):
+                    op(dma_for(idx, slot, r))
 
         slot = jax.lax.rem(i, 2)
         next_slot = jax.lax.rem(i + 1, 2)
 
         @pl.when(i == 0)
         def _():
-            dma_for(0, 0).start()
+            # Rows beyond a narrowed DMA stay stale in VMEM; their hat
+            # weights are exactly zero, but uninitialized VMEM could hold
+            # NaN bit patterns (NaN * 0 = NaN) — zero both slots once.
+            patch_ref[...] = jnp.zeros_like(patch_ref)
+            tiered(0, 0, lambda cp: cp.start())
 
         @pl.when(i + 1 < n)
         def _():
-            dma_for(i + 1, next_slot).start()
+            tiered(i + 1, next_slot, lambda cp: cp.start())
 
-        dma_for(i, slot).wait()
+        tiered(i, slot, lambda cp: cp.wait())
 
         p = patch_ref.shape[1]
         c = patch_ref.shape[3]
@@ -91,47 +111,70 @@ def _make_kernel(precision):
     return kernel
 
 
-def _bwd_kernel(starts_ref, g_ref, wy_ref, wx_ref, zeros_ref, out_ref,
-                patch_ref, sem_ref):
-    """Backward: per-ROI read-modify-write accumulation into the pyramid.
+def _make_bwd_kernel(row_tiers):
+    def _bwd_kernel(starts_ref, g_ref, wy_ref, wx_ref, zeros_ref, out_ref,
+                    patch_ref, sem_ref):
+        """Backward: per-ROI read-modify-write accumulation into the pyramid.
 
-    out_ref is HBM (aliased to a zeros input); the sequential grid makes the
-    RMW race-free. gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q].
-    """
-    del zeros_ref  # aliased into out_ref; presence zero-initializes it
-    i = pl.program_id(0)
-    row = starts_ref[i, 0]
-    tx = pl.multiple_of(starts_ref[i, 1], 8)
-    p = patch_ref.shape[0]
-    c = patch_ref.shape[2]
-    s = wy_ref.shape[1]
+        out_ref is HBM (aliased to a zeros input); the sequential grid makes
+        the RMW race-free. gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q].
+        The RMW window is narrowed to the ROI's weight-bearing row tier
+        (rows beyond it have identically-zero gradient).
+        """
+        del zeros_ref  # aliased into out_ref; presence zero-initializes it
+        i = pl.program_id(0)
+        row = starts_ref[i, 0]
+        tx = pl.multiple_of(starts_ref[i, 1], 8)
+        p = patch_ref.shape[0]
+        c = patch_ref.shape[2]
+        s = wy_ref.shape[1]
+        tiers = [r for r in row_tiers if r < p] + [p]
+        cls = starts_ref[i, 2]
 
-    region = out_ref.at[pl.ds(row, p), pl.ds(tx, p), :]
-    read = pltpu.make_async_copy(region, patch_ref, sem_ref.at[0])
-    read.start()
+        def rmw_parts(r):
+            region = out_ref.at[pl.ds(row, r), pl.ds(tx, p), :]
+            window = patch_ref.at[pl.ds(0, r)]
+            return (
+                region,
+                window,
+                pltpu.make_async_copy(region, window, sem_ref.at[0]),
+            )
 
-    g = g_ref[0].astype(jnp.float32)  # [S, S, C]
-    wy = wy_ref[0]  # [S, P]
-    wx = wx_ref[0]
-    # t[p, u, c] = sum_o wy[o, p] * g[o, u, c]
-    t = jax.lax.dot_general(
-        wy, g.reshape(s, s * c),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(p, s, c)
-    # gp[q, p, c] = sum_u wx[u, q] * t[p, u, c]
-    gp = jax.lax.dot_general(
-        wx, t,
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Q(P), P, C]
-    gp = jnp.swapaxes(gp, 0, 1)  # [P, Q, C]
+        # Start the (narrowed) read before the weight matmuls so the DMA
+        # overlaps the compute.
+        for k, r in enumerate(tiers):
+            @pl.when(cls == k)
+            def _(r=r):
+                rmw_parts(r)[2].start()
 
-    read.wait()
-    patch_ref[...] = patch_ref[...] + gp
-    write = pltpu.make_async_copy(patch_ref, region, sem_ref.at[1])
-    write.start()
-    write.wait()
+        g = g_ref[0].astype(jnp.float32)  # [S, S, C]
+        wy = wy_ref[0]  # [S, P]
+        wx = wx_ref[0]
+        # t[p, u, c] = sum_o wy[o, p] * g[o, u, c]
+        t = jax.lax.dot_general(
+            wy, g.reshape(s, s * c),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(p, s, c)
+        # gp[q, p, c] = sum_u wx[u, q] * t[p, u, c]
+        gp = jax.lax.dot_general(
+            wx, t,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Q(P), P, C]
+        gp = jnp.swapaxes(gp, 0, 1)  # [P, Q, C]
+
+        for k, r in enumerate(tiers):
+            @pl.when(cls == k)
+            def _(r=r):
+                region, window, read = rmw_parts(r)
+                read.wait()
+                patch_ref[pl.ds(0, r)] = patch_ref[pl.ds(0, r)] + gp[:r]
+                write = pltpu.make_async_copy(window, region, sem_ref.at[1])
+                write.start()
+                write.wait()
+
+    return _bwd_kernel
 
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "interpret"))
@@ -156,7 +199,7 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
         ],
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(ROW_TIERS),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         input_output_aliases={4: 0},  # zeros input (after scalar prefetch)
@@ -200,7 +243,7 @@ roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def roi_patch_interpolate(
     stacked: jnp.ndarray,  # [Htot, Wm, C] row-concatenated pyramid
-    starts: jnp.ndarray,  # [N, 2] int32 (row, tx); tx multiple of 8
+    starts: jnp.ndarray,  # [N, 3] int32 (row, tx, row-tier); tx multiple of 8
     wy: jnp.ndarray,  # [N, S, P] f32 bin-averaged hat weights
     wx: jnp.ndarray,  # [N, S, P]
     interpret: bool = False,
@@ -227,7 +270,7 @@ def roi_patch_interpolate(
         ],
     )
     return pl.pallas_call(
-        _make_kernel(precision),
+        _make_kernel(precision, ROW_TIERS),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, s, s, c), stacked.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -99,11 +99,17 @@ def test_pallas_backward_matches_manual_scatter_interpret():
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
+    # Dense random weights touch the whole patch: row-tier class = full
+    # patch (the index after all narrow tiers < p).
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import ROW_TIERS
+
+    full_cls = len([r for r in ROW_TIERS if r < p])
     starts = jnp.asarray(
         np.stack(
             [
                 rng.integers(0, 128 - p + 1, n),
                 rng.integers(0, (64 - p) // 8 + 1, n) * 8,
+                np.full(n, full_cls),
             ],
             axis=1,
         ),
@@ -115,7 +121,7 @@ def test_pallas_backward_matches_manual_scatter_interpret():
     for i in range(n):
         a = np.einsum("op,ouc->puc", np.asarray(wy[i]), np.asarray(g[i]))
         gp = np.einsum("uq,puc->pqc", np.asarray(wx[i]), a)
-        row, tx = [int(v) for v in starts[i]]
+        row, tx = [int(v) for v in starts[i, :2]]
         want[row : row + p, tx : tx + p] += gp
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
 
