@@ -15,6 +15,24 @@ from typing import Dict, List, Optional
 import cv2
 import numpy as np
 
+from . import native_io
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """[H, W, 3] uint8 RGB. JPEGs decode through the native C++ pipeline
+    (native/imageio.cpp — skips cv2's BGR intermediate + conversion pass);
+    other formats and hosts without a compiler use cv2."""
+    if native_io.available() and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                return native_io.decode_jpeg(f.read())
+        except (ValueError, OSError):
+            pass  # corrupt/progressive-exotic file: let cv2 try
+    image = cv2.imread(path, cv2.IMREAD_COLOR)
+    if image is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+
 
 def decode_rle(rle: Dict, h: int, w: int) -> np.ndarray:
     """Decode COCO RLE (uncompressed counts list or compressed LEB128-style
@@ -123,10 +141,7 @@ class CocoDataset:
     def __getitem__(self, idx: int) -> Dict:
         img_info, anns = self.images[idx]
         path = os.path.join(self.image_root, img_info["file_name"])
-        image = cv2.imread(path, cv2.IMREAD_COLOR)
-        if image is None:
-            raise FileNotFoundError(path)
-        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        image = load_image_rgb(path)
         h, w = image.shape[:2]
 
         boxes, classes, is_crowd, masks, keypoints = [], [], [], [], []

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import nms_fixed
+from ..ops.topk import spatial_top_k
 from ..structures import Instances, boxes as box_ops
 from ..utils import Registry
 from .anchors import build_anchor_generator
@@ -197,9 +198,8 @@ class RPN:
             for logit, delta, anchors in zip(
                 per_level_logits, per_level_deltas, level_anchors
             ):
-                scores = logit.reshape(-1)
-                k = min(pre_k, scores.shape[0])
-                top_scores, top_idx = jax.lax.top_k(scores, k)
+                k = min(pre_k, logit.size)
+                top_scores, top_idx = spatial_top_k(logit, k)
                 sel_anchors = jnp.take(anchors, top_idx, axis=0)
                 sel_deltas = jnp.take(delta.reshape(-1, 4), top_idx, axis=0)
                 boxes = self.box2box.apply_deltas(sel_deltas, sel_anchors)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import class_aware_nms
+from ...ops.topk import spatial_top_k
 from ...structures import Instances, boxes as box_ops
 from ...utils import Registry
 from ..anchors import build_anchor_generator
@@ -215,7 +216,11 @@ class RetinaNet:
                 k = min(self.topk_candidates, per_pos.shape[0] * self.num_classes)
                 kpos = min(k, per_pos.shape[0])
                 pos_max = jnp.max(per_pos, axis=1)
-                _, pos_idx = jax.lax.top_k(pos_max, kpos)
+                # The position scan itself uses the 2x2-window preselect
+                # (ops/topk.py) — also exact, ~2.5x cheaper at p3 scale.
+                hh, ww = logit.shape[0], logit.shape[1]
+                na = per_pos.shape[0] // (hh * ww)
+                _, pos_idx = spatial_top_k(pos_max.reshape(hh, ww, na), kpos)
                 sel = jax.nn.sigmoid(jnp.take(per_pos, pos_idx, axis=0))
                 top_scores, flat_idx = jax.lax.top_k(sel.reshape(-1), k)
                 anchor_idx = jnp.take(pos_idx, flat_idx // self.num_classes)

@@ -107,3 +107,23 @@ def test_matrix_nms_class_separation():
     scores = jnp.array([0.9, 0.8])
     out = np.asarray(matrix_nms(jnp.asarray(m), labels, scores))
     assert out[1] > 0.75  # different class: no suppression
+
+
+def test_spatial_top_k_matches_flat_top_k():
+    """Windowed preselect must be EXACT vs lax.top_k (distinct scores)."""
+    import jax
+
+    from detectron2_tensorflow_tpu.ops.topk import spatial_top_k
+
+    rng = np.random.default_rng(7)
+    for h, w, a, k in [(50, 84, 3, 1000), (37, 61, 3, 500), (13, 21, 3, 1000),
+                       (200, 336, 3, 1000), (8, 8, 2, 5)]:
+        # permutation scores: globally distinct, so top-k is unambiguous
+        scores = rng.permutation(h * w * a).astype(np.float32)
+        scores = jnp.asarray(scores.reshape(h, w, a))
+        want_v, want_i = jax.lax.top_k(scores.reshape(-1), min(k, h * w * a))
+        got_v, got_i = spatial_top_k(scores, k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(got_i)), np.sort(np.asarray(want_i))
+        )
