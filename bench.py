@@ -6,20 +6,31 @@ Baseline: Detectron2 model zoo Mask R-CNN R50-FPN 1x on V100 = 0.043 s/im
 
 Runs at the COCO serving shape (800x1344 bucket), bf16 trunk, batched to
 saturate the chip; reports per-image throughput.
+
+Resilience: the TPU worker behind this host's tunnel occasionally faults and
+needs minutes to restart, which would otherwise turn a whole bench run into
+one exception. The top-level driver therefore runs each measurement in a
+SUBPROCESS (a crashed worker poisons the parent's JAX client) and retries
+down a ladder of batch sizes.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 V100_BASELINE_IMG_S = 23.3
+BATCH_LADDER = (32, 16, 8)
+RECOVERY_SECONDS = 210
 
 
-def main():
+def measure(batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
     from detectron2_tensorflow_tpu.config import get_cfg
     from detectron2_tensorflow_tpu.models import build_model
 
@@ -45,7 +56,6 @@ def main():
 
     model = build_model(cfg)
 
-    batch_size = 48
     h, w = 800, 1344  # COCO shortest-side-800 landscape bucket
     batch = {
         "image": jnp.full((batch_size, h, w, 3), 110.0, jnp.float32),
@@ -85,5 +95,30 @@ def main():
     )
 
 
+def main():
+    for attempt, bs in enumerate(BATCH_LADDER):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(bs)],
+            capture_output=True, text=True, timeout=1500,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')),
+            None,
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        sys.stderr.write(
+            f"bench at batch {bs} failed (rc={proc.returncode}); "
+            f"tail: {proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else '?'}\n"
+        )
+        if attempt + 1 < len(BATCH_LADDER):
+            time.sleep(RECOVERY_SECONDS)  # let a faulted TPU worker restart
+    raise SystemExit("all bench attempts failed")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        measure(int(sys.argv[1]))
+    else:
+        main()
