@@ -87,7 +87,18 @@ def test_retinanet_loss_normalizer_ema(model_and_vars):
     )
     n0 = float(model.initial_state["loss_normalizer"])
     n1 = float(state["loss_normalizer"])
-    assert n1 != n0  # EMA moved toward the observed foreground count
+    # Reference semantics (single_stage_heads/retinanet.py:101-108, 202-207):
+    # init 100, new = 0.9*old + 0.1*max(1, num_fg), losses divided by the
+    # UPDATED value. Back out num_fg and pin the recurrence exactly.
+    assert n0 == 100.0
+    num_fg = (n1 - 0.9 * n0) / 0.1
+    assert num_fg >= 1.0 and abs(num_fg - round(num_fg)) < 1e-3  # a count
+    _, (_, state2) = jax.jit(model.loss_fn)(
+        variables, gt, jax.random.PRNGKey(0), state
+    )
+    n2 = float(state2["loss_normalizer"])
+    # Same batch => same num_fg; the EMA recurrence must hold exactly.
+    assert abs(n2 - (0.9 * n1 + 0.1 * num_fg)) < 1e-2
 
 
 def test_retinanet_no_gt_still_trains(model_and_vars):
