@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -20,7 +21,7 @@ import numpy as np
 V100_TRAIN_IMG_S = 7.7  # per-GPU, D2 model zoo 1x schedule
 
 
-def main():
+def main(batch_size: int = 8, remat: bool = False):
     from detectron2_tensorflow_tpu.config import get_cfg
     from detectron2_tensorflow_tpu.engine import build_train_step, create_train_state
     from detectron2_tensorflow_tpu.models import build_model
@@ -40,9 +41,10 @@ def main():
     cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
     cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
     cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
-    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.IMS_PER_BATCH = batch_size
     cfg.SOLVER.AUTO_SCALE_LR_SCHEDULE = False
     cfg.INPUT.MAX_GT_INSTANCES = 64
+    cfg.MODEL.RESNETS.REMAT = remat
 
     model = build_model(cfg)
     b = cfg.SOLVER.IMS_PER_BATCH
@@ -85,4 +87,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(
+        batch_size=int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+        remat=len(sys.argv) > 2 and sys.argv[2] == "remat",
+    )

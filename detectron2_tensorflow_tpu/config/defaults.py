@@ -193,6 +193,10 @@ _C.MODEL.RESNETS.DEPTH = 101
 # TPU addition: space-to-depth rewrite of the 7x7/2 stem conv (arithmetic-
 # exact; opt-in — measured neutral-to-slower on v5e, can win elsewhere).
 _C.MODEL.RESNETS.STEM_SPACE_TO_DEPTH = False
+# TPU addition: jax.checkpoint each unfrozen residual block — backward
+# recomputes block activations instead of storing them (~3x less backbone
+# activation HBM for ~33% extra backbone FLOPs); buys a larger train batch.
+_C.MODEL.RESNETS.REMAT = False
 _C.MODEL.RESNETS.OUT_FEATURES = ["res4"]  # C4: ["res4"]; FPN: res2..res5
 _C.MODEL.RESNETS.NUM_GROUPS = 1  # >1 => ResNeXt
 _C.MODEL.RESNETS.NORM = "FrozenBN"  # FrozenBN | GN | SyncBN | BN

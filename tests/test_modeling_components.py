@@ -177,3 +177,34 @@ def test_gcn_layer():
     reach = np.abs(np.asarray(out[0, :, :, 0])) > 1e-9
     assert reach[8 - 3, 8 - 3] and reach[8 + 3, 8 + 3]
     assert not reach[8 - 4, 8]  # nothing beyond k//2
+
+
+def test_resnet_stage_remat_matches_plain():
+    """MODEL.RESNETS.REMAT recomputes block activations in the backward;
+    the loss must be bit-identical and gradients equal up to the recompute's
+    bf16 matmul rounding."""
+    from detectron2_tensorflow_tpu.models.backbones.resnet import ResNetStage
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 16, 8)), jnp.float32
+    )
+    results = {}
+    for remat in (False, True):
+        m = ResNetStage(
+            num_blocks=2, out_channels=16, bottleneck_channels=4,
+            norm="FrozenBN", remat=remat,
+        )
+        v = m.init(jax.random.PRNGKey(0), x, True)
+        rest = {k: v[k] for k in v if k != "params"}
+
+        def loss(params):
+            return jnp.sum(m.apply({"params": params, **rest}, x, True) ** 2)
+
+        l, g = jax.jit(jax.value_and_grad(loss))(v["params"])
+        results[remat] = (float(l), g)
+    assert results[False][0] == results[True][0]
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        results[False][1], results[True][1],
+    )
+    assert max(jax.tree.leaves(diffs)) < 5e-3
