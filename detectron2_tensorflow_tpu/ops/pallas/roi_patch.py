@@ -113,40 +113,84 @@ def _make_kernel(precision, row_tiers):
 
 def _make_bwd_kernel(row_tiers):
     def _bwd_kernel(starts_ref, g_ref, wy_ref, wx_ref, zeros_ref, out_ref,
-                    patch_ref, sem_ref):
-        """Backward: per-ROI read-modify-write accumulation into the pyramid.
+                    patch_ref, outbuf_ref, rsem_ref, wsem_ref):
+        """Backward: per-ROI read-modify-write accumulation into the pyramid,
+        PIPELINED across grid steps.
 
-        out_ref is HBM (aliased to a zeros input); the sequential grid makes
-        the RMW race-free. gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q].
-        The RMW window is narrowed to the ROI's weight-bearing row tier
-        (rows beyond it have identically-zero gradient).
+        out_ref is HBM (aliased to a zeros input). The sequential grid makes
+        the RMW race-free, but a naive read->add->write->wait chain is pure
+        DMA latency (the per-ROI matmuls are microseconds). Instead, step i
+
+          * waits write(i-2) (bounds in-flight writes to one and frees the
+            outbuf slot about to be reused),
+          * prefetches read(i+1) if starts[i+1, 3] (the plan-time hazard
+            flag, models/poolers.plan_rois) says ROI i+1's region intersects
+            neither ROI i's nor ROI i-1's — the two writes not yet landed,
+          * computes gp = Wy^T g Wx^T, accumulates into a SEPARATE output
+            buffer (outbuf), and issues write(i) without waiting.
+
+        On a hazard, the step degrades to the serialized order: wait the
+        overlapping write(i-1), then read/add/write. Typical train boxes
+        hazard ~10-20% of steps, so most read+write latency hides behind
+        neighbors. gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q]; the RMW
+        window is narrowed to the ROI's weight-bearing row tier (rows beyond
+        it have identically-zero gradient).
         """
         del zeros_ref  # aliased into out_ref; presence zero-initializes it
         i = pl.program_id(0)
-        row = starts_ref[i, 0]
-        tx = pl.multiple_of(starts_ref[i, 1], 8)
-        p = patch_ref.shape[0]
-        c = patch_ref.shape[2]
+        n = pl.num_programs(0)
+        p = patch_ref.shape[1]
+        c = patch_ref.shape[3]
         s = wy_ref.shape[1]
         tiers = [r for r in row_tiers if r < p] + [p]
-        cls = starts_ref[i, 2]
 
-        def rmw_parts(r):
-            region = out_ref.at[pl.ds(row, r), pl.ds(tx, p), :]
-            window = patch_ref.at[pl.ds(0, r)]
-            return (
-                region,
-                window,
-                pltpu.make_async_copy(region, window, sem_ref.at[0]),
+        def read_for(idx, slot, rows):
+            row = starts_ref[idx, 0]
+            tx = pl.multiple_of(starts_ref[idx, 1], 8)
+            return pltpu.make_async_copy(
+                out_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
+                patch_ref.at[slot, pl.ds(0, rows)],
+                rsem_ref.at[slot],
             )
 
-        # Start the (narrowed) read before the weight matmuls so the DMA
-        # overlaps the compute.
-        for k, r in enumerate(tiers):
-            @pl.when(cls == k)
-            def _(r=r):
-                rmw_parts(r)[2].start()
+        def write_for(idx, slot, rows):
+            row = starts_ref[idx, 0]
+            tx = pl.multiple_of(starts_ref[idx, 1], 8)
+            return pltpu.make_async_copy(
+                outbuf_ref.at[slot, pl.ds(0, rows)],
+                out_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
+                wsem_ref.at[slot],
+            )
 
+        def tiered(idx, fn):
+            # Branch start/wait identically by the ROI's row tier so the
+            # awaited byte count always matches the issued copy.
+            cls = starts_ref[idx, 2]
+            for k, r in enumerate(tiers):
+                @pl.when(cls == k)
+                def _(r=r):
+                    fn(r)
+
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+        haz_i = starts_ref[i, 3]
+        haz_prev = starts_ref[jnp.maximum(i - 1, 0), 3]
+
+        # (1) write(i-2) used wsem[slot] and reads from outbuf[slot], which
+        # this step overwrites — it must land first. Already consumed if
+        # step i-1 took the hazard path.
+        @pl.when((i >= 2) & (haz_prev == 0))
+        def _():
+            tiered(i - 2, lambda r: write_for(i - 2, slot, r).wait())
+
+        # (2) hazard-free prefetch of the next ROI's read.
+        nxt = jnp.minimum(i + 1, n - 1)
+
+        @pl.when((i + 1 < n) & (starts_ref[nxt, 3] == 0))
+        def _():
+            tiered(nxt, lambda r: read_for(nxt, nslot, r).start())
+
+        # (3) the patch gradient (MXU; microseconds at these shapes)
         g = g_ref[0].astype(jnp.float32)  # [S, S, C]
         wy = wy_ref[0]  # [S, P]
         wx = wx_ref[0]
@@ -164,15 +208,34 @@ def _make_bwd_kernel(row_tiers):
         )  # [Q(P), P, C]
         gp = jnp.swapaxes(gp, 0, 1)  # [P, Q, C]
 
-        for k, r in enumerate(tiers):
-            @pl.when(cls == k)
-            def _(r=r):
-                region, window, read = rmw_parts(r)
-                read.wait()
-                patch_ref[pl.ds(0, r)] = patch_ref[pl.ds(0, r)] + gp[:r]
-                write = pltpu.make_async_copy(window, region, sem_ref.at[1])
-                write.start()
-                write.wait()
+        # (4) hazard: read(i) was not prefetched; the overlapping write(i-1)
+        # must land before reading (write(i-2) landed in (1)).
+        @pl.when(haz_i == 1)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                tiered(i - 1, lambda r: write_for(i - 1, nslot, r).wait())
+            tiered(i, lambda r: read_for(i, slot, r).start())
+
+        # (5) accumulate into outbuf and issue the write-back; its wait
+        # happens at step i+2 (or in the drain below).
+        def finish(r):
+            read_for(i, slot, r).wait()
+            outbuf_ref[slot, pl.ds(0, r)] = (
+                patch_ref[slot, pl.ds(0, r)] + gp[:r]
+            )
+            write_for(i, slot, r).start()
+
+        tiered(i, finish)
+
+        # (6) drain: the grid (or this image's slice of a vmapped grid) ends
+        # with write(i-1) [unless (4) consumed it] and write(i) in flight.
+        @pl.when(i == n - 1)
+        def _():
+            @pl.when((i >= 1) & (haz_i == 0))
+            def _():
+                tiered(i - 1, lambda r: write_for(i - 1, nslot, r).wait())
+            tiered(i, lambda r: write_for(i, slot, r).wait())
 
     return _bwd_kernel
 
@@ -194,8 +257,10 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((p, p, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, p, p, c), jnp.float32),  # read slots
+            pltpu.VMEM((2, p, p, c), jnp.float32),  # write-back slots
+            pltpu.SemaphoreType.DMA((2,)),  # read sems
+            pltpu.SemaphoreType.DMA((2,)),  # write sems
         ],
     )
     return pl.pallas_call(
@@ -243,7 +308,7 @@ roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def roi_patch_interpolate(
     stacked: jnp.ndarray,  # [Htot, Wm, C] row-concatenated pyramid
-    starts: jnp.ndarray,  # [N, 3] int32 (row, tx, row-tier); tx multiple of 8
+    starts: jnp.ndarray,  # [N, 4] int32 (row, tx, row-tier, bwd hazard)
     wy: jnp.ndarray,  # [N, S, P] f32 bin-averaged hat weights
     wx: jnp.ndarray,  # [N, S, P]
     interpret: bool = False,
