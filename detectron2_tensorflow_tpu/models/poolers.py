@@ -246,27 +246,7 @@ def plan_rois(
     for k in reversed(range(len(tiers))):
         cls = jnp.where(span <= tiers[k], k, cls)
 
-    # Backward-pipeline hazard flag: the RMW kernel (ops/pallas/roi_patch)
-    # overlaps ROI i+1's read and ROI i-1's write with step i UNLESS the
-    # regions intersect. Conservative test over the FULL [P, P] patch window
-    # against the previous two ROIs; hazard[0] additionally seeds the first
-    # step's read (nothing prefetches it).
-    txi = tx.astype(jnp.int32)
-
-    def _overlaps(k):
-        far = jnp.full((k,), jnp.int32(-(10 ** 6)))
-        pr = jnp.concatenate([far, rows[:-k]])
-        pt = jnp.concatenate([far, txi[:-k]])
-        return (jnp.abs(rows - pr) < p) & (jnp.abs(txi - pt) < p)
-
-    hazard = _overlaps(1) | _overlaps(2) if rows.shape[0] > 2 else (
-        jnp.ones(rows.shape, bool)
-    )
-    hazard = hazard.at[0].set(True)
-
-    starts = jnp.stack(
-        [rows, txi, cls, hazard.astype(jnp.int32)], axis=1
-    )  # [N, 4]
+    starts = jnp.stack([rows, tx.astype(jnp.int32), cls], axis=1)  # [N, 3]
     return starts, wy, wx
 
 

@@ -111,166 +111,206 @@ def _make_kernel(precision, row_tiers):
     return kernel
 
 
-def _make_bwd_kernel(row_tiers):
+BWD_GROUP = 4  # ROIs accumulated per backward grid step
+
+
+def _make_bwd_kernel(row_tiers, group):
     def _bwd_kernel(starts_ref, g_ref, wy_ref, wx_ref, zeros_ref, out_ref,
                     patch_ref, outbuf_ref, rsem_ref, wsem_ref):
-        """Backward: per-ROI read-modify-write accumulation into the pyramid,
-        PIPELINED across grid steps.
+        """Backward: read-modify-write accumulation into the pyramid,
+        GROUP ROIs per sequential grid step.
 
-        out_ref is HBM (aliased to a zeros input). The sequential grid makes
-        the RMW race-free, but a naive read->add->write->wait chain is pure
-        DMA latency (the per-ROI matmuls are microseconds). Instead, step i
+        out_ref is HBM (aliased to a zeros input); the sequential grid makes
+        the RMW race-free. A one-ROI-per-step RMW is dominated by per-step
+        sequencing overhead and un-overlapped DMA latency (~17 us/ROI
+        measured on v5e — the matmuls are microseconds), so each step
+        handles GROUP ROIs: all reads issue back-to-back (latencies
+        overlap), each member's accumulate + write-back issues as soon as
+        its read lands, and the step ends waiting the writes. The caller
+        (roi_patch_backward) orders ROIs so group members are spatially far
+        apart; starts[base, 3] == 1 flags the rare group whose members'
+        regions DO intersect, which degrades to the fully serialized
+        read->add->write chain per member. All semaphores are produced and
+        consumed within one step — no cross-step DMA state.
 
-          * waits write(i-2) (bounds in-flight writes to one and frees the
-            outbuf slot about to be reused),
-          * prefetches read(i+1) if starts[i+1, 3] (the plan-time hazard
-            flag, models/poolers.plan_rois) says ROI i+1's region intersects
-            neither ROI i's nor ROI i-1's — the two writes not yet landed,
-          * computes gp = Wy^T g Wx^T, accumulates into a SEPARATE output
-            buffer (outbuf), and issues write(i) without waiting.
-
-        On a hazard, the step degrades to the serialized order: wait the
-        overlapping write(i-1), then read/add/write. Typical train boxes
-        hazard ~10-20% of steps, so most read+write latency hides behind
-        neighbors. gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q]; the RMW
-        window is narrowed to the ROI's weight-bearing row tier (rows beyond
-        it have identically-zero gradient).
+        gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q]; the RMW window is
+        narrowed to each ROI's weight-bearing row tier (rows beyond it have
+        identically-zero gradient).
         """
         del zeros_ref  # aliased into out_ref; presence zero-initializes it
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
+        j = pl.program_id(0)
         p = patch_ref.shape[1]
         c = patch_ref.shape[3]
         s = wy_ref.shape[1]
         tiers = [r for r in row_tiers if r < p] + [p]
+        base = j * group
 
-        def read_for(idx, slot, rows):
-            row = starts_ref[idx, 0]
-            tx = pl.multiple_of(starts_ref[idx, 1], 8)
+        def read_for(k, rows):
+            row = starts_ref[base + k, 0]
+            tx = pl.multiple_of(starts_ref[base + k, 1], 8)
             return pltpu.make_async_copy(
                 out_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
-                patch_ref.at[slot, pl.ds(0, rows)],
-                rsem_ref.at[slot],
+                patch_ref.at[k, pl.ds(0, rows)],
+                rsem_ref.at[k],
             )
 
-        def write_for(idx, slot, rows):
-            row = starts_ref[idx, 0]
-            tx = pl.multiple_of(starts_ref[idx, 1], 8)
+        def write_for(k, rows):
+            row = starts_ref[base + k, 0]
+            tx = pl.multiple_of(starts_ref[base + k, 1], 8)
             return pltpu.make_async_copy(
-                outbuf_ref.at[slot, pl.ds(0, rows)],
+                outbuf_ref.at[k, pl.ds(0, rows)],
                 out_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
-                wsem_ref.at[slot],
+                wsem_ref.at[k],
             )
 
-        def tiered(idx, fn):
+        def tiered(k, fn):
             # Branch start/wait identically by the ROI's row tier so the
             # awaited byte count always matches the issued copy.
-            cls = starts_ref[idx, 2]
-            for k, r in enumerate(tiers):
-                @pl.when(cls == k)
+            cls = starts_ref[base + k, 2]
+            for t_i, r in enumerate(tiers):
+                @pl.when(cls == t_i)
                 def _(r=r):
                     fn(r)
 
-        slot = jax.lax.rem(i, 2)
-        nslot = jax.lax.rem(i + 1, 2)
-        haz_i = starts_ref[i, 3]
-        haz_prev = starts_ref[jnp.maximum(i - 1, 0), 3]
+        def gp_for(k):
+            g = g_ref[k].astype(jnp.float32)  # [S, S, C]
+            wy = wy_ref[k]  # [S, P]
+            wx = wx_ref[k]
+            # t[p, u, c] = sum_o wy[o, p] * g[o, u, c]
+            t = jax.lax.dot_general(
+                wy, g.reshape(s, s * c),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(p, s, c)
+            # gp[q, p, c] = sum_u wx[u, q] * t[p, u, c]
+            gp = jax.lax.dot_general(
+                wx, t,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Q(P), P, C]
+            return jnp.swapaxes(gp, 0, 1)  # [P, Q, C]
 
-        # (1) write(i-2) used wsem[slot] and reads from outbuf[slot], which
-        # this step overwrites — it must land first. Already consumed if
-        # step i-1 took the hazard path.
-        @pl.when((i >= 2) & (haz_prev == 0))
+        hazard = starts_ref[base, 3]
+
+        @pl.when(hazard == 0)
         def _():
-            tiered(i - 2, lambda r: write_for(i - 2, slot, r).wait())
+            for k in range(group):
+                tiered(k, lambda r, k=k: read_for(k, r).start())
+            for k in range(group):
+                gp = gp_for(k)
 
-        # (2) hazard-free prefetch of the next ROI's read.
-        nxt = jnp.minimum(i + 1, n - 1)
+                def fin(r, k=k, gp=gp):
+                    read_for(k, r).wait()
+                    outbuf_ref[k, pl.ds(0, r)] = patch_ref[k, pl.ds(0, r)] + gp[:r]
+                    write_for(k, r).start()
 
-        @pl.when((i + 1 < n) & (starts_ref[nxt, 3] == 0))
+                tiered(k, fin)
+            for k in range(group):
+                tiered(k, lambda r, k=k: write_for(k, r).wait())
+
+        @pl.when(hazard == 1)
         def _():
-            tiered(nxt, lambda r: read_for(nxt, nslot, r).start())
+            # Members may hit the same region: strict per-member RMW chain.
+            for k in range(group):
+                gp = gp_for(k)
 
-        # (3) the patch gradient (MXU; microseconds at these shapes)
-        g = g_ref[0].astype(jnp.float32)  # [S, S, C]
-        wy = wy_ref[0]  # [S, P]
-        wx = wx_ref[0]
-        # t[p, u, c] = sum_o wy[o, p] * g[o, u, c]
-        t = jax.lax.dot_general(
-            wy, g.reshape(s, s * c),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(p, s, c)
-        # gp[q, p, c] = sum_u wx[u, q] * t[p, u, c]
-        gp = jax.lax.dot_general(
-            wx, t,
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Q(P), P, C]
-        gp = jnp.swapaxes(gp, 0, 1)  # [P, Q, C]
+                def serial(r, k=k, gp=gp):
+                    read_for(k, r).start()
+                    read_for(k, r).wait()
+                    outbuf_ref[k, pl.ds(0, r)] = patch_ref[k, pl.ds(0, r)] + gp[:r]
+                    write_for(k, r).start()
+                    write_for(k, r).wait()
 
-        # (4) hazard: read(i) was not prefetched; the overlapping write(i-1)
-        # must land before reading (write(i-2) landed in (1)).
-        @pl.when(haz_i == 1)
-        def _():
-            @pl.when(i >= 1)
-            def _():
-                tiered(i - 1, lambda r: write_for(i - 1, nslot, r).wait())
-            tiered(i, lambda r: read_for(i, slot, r).start())
-
-        # (5) accumulate into outbuf and issue the write-back; its wait
-        # happens at step i+2 (or in the drain below).
-        def finish(r):
-            read_for(i, slot, r).wait()
-            outbuf_ref[slot, pl.ds(0, r)] = (
-                patch_ref[slot, pl.ds(0, r)] + gp[:r]
-            )
-            write_for(i, slot, r).start()
-
-        tiered(i, finish)
-
-        # (6) drain: the grid (or this image's slice of a vmapped grid) ends
-        # with write(i-1) [unless (4) consumed it] and write(i) in flight.
-        @pl.when(i == n - 1)
-        def _():
-            @pl.when((i >= 1) & (haz_i == 0))
-            def _():
-                tiered(i - 1, lambda r: write_for(i - 1, nslot, r).wait())
-            tiered(i, lambda r: write_for(i, slot, r).wait())
+                tiered(k, serial)
 
     return _bwd_kernel
 
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "interpret"))
 def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
-    """Accumulate per-ROI patch gradients into a fresh f32 pyramid."""
+    """Accumulate per-ROI patch gradients into a fresh f32 pyramid.
+
+    Accumulation is order-independent, so ROIs are re-ordered for the
+    grouped kernel: sort by region (row, tx), then deal the sorted order
+    round-robin into BWD_GROUP-member groups — members sit ~n/GROUP sorted
+    positions apart, so their regions almost never intersect and the group
+    can run its DMAs concurrently. A group whose members DO intersect
+    (pairwise [P, P]-window test) is flagged in starts[:, 3] and the kernel
+    serializes it. The ROI list is padded to a group multiple with zero-
+    gradient dummies aimed at the plane's trailing zero rows.
+    """
     n, s, p = wy.shape
     c = out_shape[-1]
+    group = BWD_GROUP
+    m = -(-n // group) * group
+    pad = m - n
+
+    rows = starts[:, 0]
+    txs = starts[:, 1]
+    cls = starts[:, 2]
+    # Sort by region; padding sorts last (key above any real region).
+    key = rows * 2048 + txs
+    if pad:
+        full_cls = len([r for r in ROW_TIERS if r < p])
+        key = jnp.concatenate([key, jnp.full((pad,), jnp.int32(2 ** 30))])
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad,), jnp.int32(out_shape[0] - p))]
+        )
+        txs = jnp.concatenate([txs, jnp.zeros((pad,), jnp.int32)])
+        cls = jnp.concatenate([cls, jnp.full((pad,), jnp.int32(full_cls))])
+        g = jnp.concatenate([g, jnp.zeros((pad, s, s, c), g.dtype)])
+        wy = jnp.concatenate([wy, jnp.zeros((pad, s, p), wy.dtype)])
+        wx = jnp.concatenate([wx, jnp.zeros((pad, s, p), wx.dtype)])
+    order = jnp.argsort(key)
+    # exec[j*G + k] = order[k*q + j]: group j's members are q apart.
+    q = m // group
+    exec_order = jnp.swapaxes(order.reshape(group, q), 0, 1).reshape(-1)
+
+    rows = jnp.take(rows, exec_order)
+    txs = jnp.take(txs, exec_order)
+    cls = jnp.take(cls, exec_order)
+    g = jnp.take(g, exec_order, axis=0)  # native dtype; kernel casts to f32
+    wy = jnp.take(wy, exec_order, axis=0)
+    wx = jnp.take(wx, exec_order, axis=0)
+
+    # Group hazard: any pairwise region overlap among the group's members.
+    gr = rows.reshape(q, group)
+    gt = txs.reshape(q, group)
+    dy = jnp.abs(gr[:, :, None] - gr[:, None, :])
+    dx = jnp.abs(gt[:, :, None] - gt[:, None, :])
+    pair = (dy < p) & (dx < p)
+    pair = pair & ~jnp.eye(group, dtype=bool)[None]
+    hazard = jnp.any(pair, axis=(1, 2)).astype(jnp.int32)  # [q]
+    starts4 = jnp.stack(
+        [rows, txs, cls, jnp.repeat(hazard, group)], axis=1
+    )
+
     zeros = jnp.zeros(out_shape, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
+        grid=(q,),
         in_specs=[
-            pl.BlockSpec((1, s, s, c), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((group, s, s, c), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((group, s, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((group, s, p), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to out)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, p, p, c), jnp.float32),  # read slots
-            pltpu.VMEM((2, p, p, c), jnp.float32),  # write-back slots
-            pltpu.SemaphoreType.DMA((2,)),  # read sems
-            pltpu.SemaphoreType.DMA((2,)),  # write sems
+            pltpu.VMEM((group, p, p, c), jnp.float32),  # read slots
+            pltpu.VMEM((group, p, p, c), jnp.float32),  # write-back slots
+            pltpu.SemaphoreType.DMA((group,)),  # read sems
+            pltpu.SemaphoreType.DMA((group,)),  # write sems
         ],
     )
     return pl.pallas_call(
-        _make_bwd_kernel(ROW_TIERS),
+        _make_bwd_kernel(ROW_TIERS, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         input_output_aliases={4: 0},  # zeros input (after scalar prefetch)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(starts, g.astype(jnp.float32), wy, wx, zeros)
+    )(starts4, g, wy, wx, zeros)
 
 
 @jax.custom_vjp
@@ -308,7 +348,7 @@ roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def roi_patch_interpolate(
     stacked: jnp.ndarray,  # [Htot, Wm, C] row-concatenated pyramid
-    starts: jnp.ndarray,  # [N, 4] int32 (row, tx, row-tier, bwd hazard)
+    starts: jnp.ndarray,  # [N, 3] int32 (row, tx, row-tier); tx multiple of 8
     wy: jnp.ndarray,  # [N, S, P] f32 bin-averaged hat weights
     wx: jnp.ndarray,  # [N, S, P]
     interpret: bool = False,

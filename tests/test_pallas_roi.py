@@ -90,109 +90,89 @@ def test_oversize_box_pools_from_averaged_level_not_truncated():
     assert float(np.asarray(out).min()) > 0.5, np.asarray(out).min()
 
 
-def _hazards(rows, txs, p):
-    """The plan_rois hazard rule: region(i) intersects region(i-1|i-2)."""
-    n = len(rows)
-    h = np.zeros(n, np.int32)
-    h[0] = 1
-    for i in range(1, n):
-        for j in (i - 1, i - 2):
-            if j >= 0 and abs(rows[i] - rows[j]) < p and abs(txs[i] - txs[j]) < p:
-                h[i] = 1
-    return h
+def _manual_scatter(shape, starts, g, wy, wx, p):
+    want = np.zeros(shape, np.float32)
+    for i in range(len(g)):
+        a = np.einsum("op,ouc->puc", np.asarray(wy[i]), np.asarray(g[i]))
+        gp = np.einsum("uq,puc->pqc", np.asarray(wx[i]), a)
+        row, tx = [int(v) for v in starts[i, :2]]
+        want[row : row + p, tx : tx + p] += gp
+    return want
 
 
 def test_pallas_backward_matches_manual_scatter_interpret():
-    """Random ROIs mix overlapping (hazard/serialized) and disjoint
-    (pipelined) steps; both must accumulate exactly."""
-    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import roi_patch_backward
+    """Random ROIs: the grouped kernel's sort/deal reordering and padding
+    must accumulate exactly (order-independence of the sum)."""
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
+        ROW_TIERS,
+        roi_patch_backward,
+    )
 
     rng = np.random.default_rng(1)
-    n, s, p, c = 5, 7, 56, 128
+    n, s, p, c = 5, 7, 56, 128  # n NOT a multiple of BWD_GROUP: tests padding
     shape = (128, 64, c)  # row-concatenated plane
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     # Dense random weights touch the whole patch: row-tier class = full
     # patch (the index after all narrow tiers < p).
-    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import ROW_TIERS
-
     full_cls = len([r for r in ROW_TIERS if r < p])
     rows = rng.integers(0, 128 - p + 1, n)
     txs = rng.integers(0, (64 - p) // 8 + 1, n) * 8
     starts = jnp.asarray(
-        np.stack([rows, txs, np.full(n, full_cls), _hazards(rows, txs, p)], 1),
-        jnp.int32,
+        np.stack([rows, txs, np.full(n, full_cls)], 1), jnp.int32
     )
     got = roi_patch_backward(g, starts, wy, wx, out_shape=shape, interpret=True)
-
-    want = np.zeros(shape, np.float32)
-    for i in range(n):
-        a = np.einsum("op,ouc->puc", np.asarray(wy[i]), np.asarray(g[i]))
-        gp = np.einsum("uq,puc->pqc", np.asarray(wx[i]), a)
-        row, tx = [int(v) for v in starts[i, :2]]
-        want[row : row + p, tx : tx + p] += gp
+    want = _manual_scatter(shape, starts, g, wy, wx, p)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
 
 
 def test_pallas_backward_all_overlapping_rois_interpret():
-    """Every ROI hits the SAME region — the fully-serialized hazard path
-    must chain read-after-write exactly (sum of all patch gradients)."""
+    """Every ROI hits the SAME region — group members collide, the hazard
+    flag must serialize the read-after-write chain exactly."""
     from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
         ROW_TIERS,
         roi_patch_backward,
     )
 
     rng = np.random.default_rng(7)
-    n, s, p, c = 6, 7, 32, 128
+    n, s, p, c = 8, 7, 32, 128
     shape = (64, 64, c)
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     full_cls = len([r for r in ROW_TIERS if r < p])
     starts = jnp.asarray(
-        np.stack(
-            [np.full(n, 8), np.full(n, 16), np.full(n, full_cls), np.ones(n)], 1
-        ),
+        np.stack([np.full(n, 8), np.full(n, 16), np.full(n, full_cls)], 1),
         jnp.int32,
     )
     got = roi_patch_backward(g, starts, wy, wx, out_shape=shape, interpret=True)
-    want = np.zeros(shape, np.float32)
-    for i in range(n):
-        a = np.einsum("op,ouc->puc", np.asarray(wy[i]), np.asarray(g[i]))
-        gp = np.einsum("uq,puc->pqc", np.asarray(wx[i]), a)
-        want[8 : 8 + p, 16 : 16 + p] += gp
+    want = _manual_scatter(shape, starts, g, wy, wx, p)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
 
 
-def test_pallas_backward_disjoint_rois_pipelined_interpret():
-    """Fully disjoint ROIs take the prefetch/no-wait pipeline; each region
-    must hold exactly its own gradient."""
+def test_pallas_backward_disjoint_rois_grouped_interpret():
+    """Fully disjoint ROIs take the concurrent group path; each region must
+    hold exactly its own gradient."""
     from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
         ROW_TIERS,
         roi_patch_backward,
     )
 
     rng = np.random.default_rng(8)
-    n, s, p, c = 4, 7, 32, 128
-    shape = (160, 128, c)
+    n, s, p, c = 8, 7, 32, 128
+    shape = (320, 128, c)
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     full_cls = len([r for r in ROW_TIERS if r < p])
-    rows = np.array([0, 40, 80, 120])
-    txs = np.array([0, 40, 80, 0])
-    h = _hazards(rows, txs, p)
-    assert h[1:].sum() == 0  # genuinely exercises the pipelined path
+    rows = np.arange(8) * 36  # pairwise row distance >= 36 > P: no overlap
+    txs = np.array([0, 40, 80, 0, 40, 80, 0, 40])
     starts = jnp.asarray(
-        np.stack([rows, txs, np.full(n, full_cls), h], 1), jnp.int32
+        np.stack([rows, txs, np.full(n, full_cls)], 1), jnp.int32
     )
     got = roi_patch_backward(g, starts, wy, wx, out_shape=shape, interpret=True)
-    want = np.zeros(shape, np.float32)
-    for i in range(n):
-        a = np.einsum("op,ouc->puc", np.asarray(wy[i]), np.asarray(g[i]))
-        gp = np.einsum("uq,puc->pqc", np.asarray(wx[i]), a)
-        want[rows[i] : rows[i] + p, txs[i] : txs[i] + p] += gp
+    want = _manual_scatter(shape, starts, g, wy, wx, p)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
 
 
