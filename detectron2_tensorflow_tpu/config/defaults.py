@@ -155,6 +155,11 @@ _C.DATALOADER.FILENAME_SHUFFLE_BUFFER_SIZE = 64
 _C.DATALOADER.SHUFFLE_BUFFER_SIZE = 16
 _C.DATALOADER.NUM_PARALLEL_BATCHES = 4
 _C.DATALOADER.NUM_PREFETCH_BATCHES = 2
+# TPU addition: route eval input through the native C++ pipeline
+# (native/imageio.cpp — fused parallel JPEG decode + resize + pad) when the
+# library builds and the dataset is all-JPEG. Decoder output differs from
+# cv2 by <= 1 pixel LSB.
+_C.DATALOADER.NATIVE_EVAL_IO = True
 _C.DATALOADER.LOAD_SEMANTIC_MASKS = False
 
 # ----------------------------------------------------------------------------

@@ -1,5 +1,18 @@
 from . import fields, transforms
 from .coco import CocoDataset
-from .loader import build_dataloader, pick_bucket
+from .loader import (
+    build_dataloader,
+    build_native_eval_loader,
+    native_eval_loader_usable,
+    pick_bucket,
+)
 
-__all__ = ["fields", "transforms", "CocoDataset", "build_dataloader", "pick_bucket"]
+__all__ = [
+    "fields",
+    "transforms",
+    "CocoDataset",
+    "build_dataloader",
+    "build_native_eval_loader",
+    "native_eval_loader_usable",
+    "pick_bucket",
+]

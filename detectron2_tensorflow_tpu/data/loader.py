@@ -18,7 +18,7 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from . import transforms
+from . import native_io, transforms
 
 
 def pick_bucket(h: int, w: int, buckets: Sequence[tuple]) -> tuple:
@@ -94,6 +94,87 @@ def pad_sample_to_batch_arrays(sample: Dict, bucket, max_gt: int, mini_mask: int
         out["proposal_scores"] = ps
         out["proposal_valid"] = pv
     return out
+
+
+def native_eval_loader_usable(cfg, dataset) -> bool:
+    """The C++ fused decode path can serve eval iff the library builds, the
+    dataset exposes file paths, and every file is a JPEG."""
+    if not (native_io.available() and hasattr(dataset, "image_path")):
+        return False
+    return all(
+        dataset.image_path(i).lower().endswith((".jpg", ".jpeg"))
+        for i in range(len(dataset))
+    )
+
+
+def build_native_eval_loader(
+    cfg, dataset, batch_size: Optional[int] = None
+) -> Iterator[Dict[str, np.ndarray]]:
+    """One eval epoch of fixed-shape batches through the native C++ pipeline
+    (native/imageio.cpp): per batch, ONE GIL-free call decodes, shortest-
+    edge-resizes and zero-pads every JPEG on all host cores. Emits the same
+    fields the evaluator consumes (image / image_size / original_size /
+    image_id) with the same bucketing, SAMPLE_1_OF_N, and -1-id final-batch
+    padding semantics as build_dataloader(training=False).
+
+    Header-only parses (imgio_jpeg_info) drive bucket assignment, so full
+    decodes happen exactly once, inside the batch call.
+    """
+    batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
+    buckets = [tuple(b) for b in cfg.INPUT.PAD_BUCKETS]
+    min_size = cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST
+    max_size = cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST
+
+    order = np.arange(len(dataset))
+    if cfg.DATALOADER.SAMPLE_1_OF_N > 1:
+        order = order[:: cfg.DATALOADER.SAMPLE_1_OF_N]
+
+    def resized(h, w):
+        if min_size <= 0:
+            return h, w
+        scale = min_size / min(h, w)
+        if max(h, w) * scale > max_size:
+            scale = max_size / max(h, w)
+        return int(round(h * scale)), int(round(w * scale))
+
+    pools: Dict[tuple, List[int]] = {}
+    metas: Dict[int, tuple] = {}  # idx -> (orig_h, orig_w)
+
+    def emit(bucket, idxs, pad_to):
+        datas = [open(dataset.image_path(i), "rb").read() for i in idxs]
+        images, sizes = native_io.decode_resize_pad_batch(
+            datas, min_size, max_size, bucket
+        )
+        ids = np.asarray([dataset.image_id(i) for i in idxs], np.int64)
+        orig = np.asarray([metas[i] for i in idxs], np.int32)
+        if pad_to > len(idxs):  # repeat the last sample; mark as padding
+            reps = pad_to - len(idxs)
+            images = np.concatenate([images, np.repeat(images[-1:], reps, 0)])
+            sizes = np.concatenate([sizes, np.repeat(sizes[-1:], reps, 0)])
+            orig = np.concatenate([orig, np.repeat(orig[-1:], reps, 0)])
+            ids = np.concatenate([ids, np.full((reps,), -1, np.int64)])
+        return {
+            "image": images,
+            "image_size": sizes,
+            "original_size": orig,
+            "image_id": ids,
+        }
+
+    for i in order:
+        with open(dataset.image_path(int(i)), "rb") as f:
+            head = f.read(1 << 16)  # JPEG dims live in the first segments
+        try:
+            oh, ow = native_io.jpeg_info(head)
+        except ValueError:
+            with open(dataset.image_path(int(i)), "rb") as f:
+                oh, ow = native_io.jpeg_info(f.read())
+        metas[int(i)] = (oh, ow)
+        bucket = pick_bucket(*resized(oh, ow), buckets)
+        pools.setdefault(bucket, []).append(int(i))
+        if len(pools[bucket]) == batch_size:
+            yield emit(bucket, pools.pop(bucket), batch_size)
+    for bucket, idxs in pools.items():
+        yield emit(bucket, idxs, batch_size)
 
 
 def build_dataloader(

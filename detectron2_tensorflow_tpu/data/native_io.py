@@ -43,8 +43,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         if (not os.path.isfile(cache)
                 or os.path.getmtime(cache) < os.path.getmtime(src)):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-                 "-o", cache, "-ljpeg"],
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 src, "-o", cache, "-ljpeg"],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(cache)
@@ -59,6 +59,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.imgio_decode_resize_pad.argtypes = [
             _u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             _f32p, ctypes.c_int, ctypes.c_int, _i32p, _i32p,
+        ]
+        _longp = ctypes.POINTER(ctypes.c_long)
+        lib.imgio_decode_resize_pad_batch.restype = ctypes.c_int
+        lib.imgio_decode_resize_pad_batch.argtypes = [
+            _u8p, _longp, _longp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _f32p, ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int,
         ]
         _LIB = lib
     except Exception as e:  # noqa: BLE001 — fall back to cv2
@@ -138,3 +144,44 @@ def decode_resize_pad(
     if rc != 0:
         raise ValueError(f"JPEG decode failed ({rc})")
     return out, (nh.value, nw.value), (oh, ow)
+
+
+def decode_resize_pad_batch(
+    datas, min_size: int, max_size: int, bucket: Tuple[int, int],
+    threads: int = 0,
+):
+    """Decode + resize + pad a list of JPEG byte strings in parallel (C++
+    thread pool, GIL released for the whole batch).
+
+    Returns (batch [N, bh, bw, 3] float32, sizes [N, 2] int32 resized (h, w)).
+    Raises on any corrupt member or bucket overflow.
+    """
+    import os as _os
+
+    lib = _build_and_load()
+    assert lib is not None, "native imageio not available"
+    n = len(datas)
+    bh, bw = bucket
+    blob = b"".join(datas)
+    offsets = (ctypes.c_long * n)()
+    lens = (ctypes.c_long * n)()
+    off = 0
+    for i, d in enumerate(datas):
+        offsets[i] = off
+        lens[i] = len(d)
+        off += len(d)
+    out = np.zeros((n, bh, bw, 3), np.float32)
+    hw = np.zeros((n, 2), np.int32)
+    rcs = np.zeros((n,), np.int32)
+    if threads <= 0:
+        threads = min(n, _os.cpu_count() or 1)
+    rc = lib.imgio_decode_resize_pad_batch(
+        _as_u8(blob), offsets, lens, n, min_size, max_size,
+        out.ctypes.data_as(_f32p), bh, bw,
+        hw.ctypes.data_as(_i32p), rcs.ctypes.data_as(_i32p), threads,
+    )
+    if rc == -2:
+        raise ValueError(f"a resized image exceeds bucket {bucket}")
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed in batch (rcs={rcs.tolist()})")
+    return out, hw

@@ -21,10 +21,12 @@
 #include <jpeglib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -203,6 +205,34 @@ int imgio_decode_resize_pad(const uint8_t* data, long len, int min_size,
                   tight.data() + static_cast<size_t>(y) * nw * 3,
                   static_cast<size_t>(nw) * 3 * sizeof(float));
   }
+  return 0;
+}
+
+// Batch variant: decode + resize + pad N JPEGs in parallel. Image i's bytes
+// are blob[offsets[i] : offsets[i] + lens[i]]; its output slot is
+// out[i * bh * bw * 3] (caller-zeroed). out_hw[i*2 + {0,1}] receives the
+// resized (h, w); rcs[i] the per-image status (see imgio_decode_resize_pad).
+// Returns 0 iff every image succeeded. Thread count is clamped to [1, n].
+int imgio_decode_resize_pad_batch(const uint8_t* blob, const long* offsets,
+                                  const long* lens, int n, int min_size,
+                                  int max_size, float* out, int bh, int bw,
+                                  int* out_hw, int* rcs, int nthreads) {
+  nthreads = std::max(1, std::min(nthreads, n));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      rcs[i] = imgio_decode_resize_pad(
+          blob + offsets[i], lens[i], min_size, max_size,
+          out + static_cast<size_t>(i) * bh * bw * 3, bh, bw,
+          out_hw + 2 * i, out_hw + 2 * i + 1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nthreads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  for (int i = 0; i < n; ++i)
+    if (rcs[i] != 0) return rcs[i];
   return 0;
 }
 

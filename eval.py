@@ -112,7 +112,17 @@ def main():
     model = build_model(cfg)
 
     def data_iter():
-        batches = build_dataloader(cfg, dataset, training=False)
+        from detectron2_tensorflow_tpu.data import (
+            build_native_eval_loader,
+            native_eval_loader_usable,
+        )
+
+        if cfg.DATALOADER.NATIVE_EVAL_IO and native_eval_loader_usable(
+            cfg, dataset
+        ):
+            batches = build_native_eval_loader(cfg, dataset)
+        else:
+            batches = build_dataloader(cfg, dataset, training=False)
         return ({k: jnp.asarray(v) for k, v in b.items()} for b in batches)
 
     sample = next(data_iter())

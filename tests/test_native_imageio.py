@@ -78,3 +78,66 @@ def test_bucket_overflow_raises():
     data = _test_jpeg(h=100, w=300)
     with pytest.raises(ValueError):
         native_io.decode_resize_pad(data, 300, 2000, (128, 224))
+
+
+def test_decode_resize_pad_batch_matches_single():
+    datas = [_test_jpeg(h, w, seed=s) for s, (h, w) in
+             enumerate([(120, 200), (96, 180), (110, 190)])]
+    bucket = (96, 160)
+    batch, sizes = native_io.decode_resize_pad_batch(datas, 80, 160, bucket)
+    assert batch.shape == (3, 96, 160, 3)
+    for i, d in enumerate(datas):
+        one, (nh, nw), _ = native_io.decode_resize_pad(d, 80, 160, bucket)
+        assert tuple(sizes[i]) == (nh, nw)
+        np.testing.assert_array_equal(batch[i], one)
+
+
+def test_native_eval_loader_matches_standard_loader(tmp_path):
+    """The C++ eval path must reproduce build_dataloader(training=False):
+    same bucketing, same resized sizes, same padding semantics, and images
+    equal to the cv2 path within JPEG-decoder rounding."""
+    import json
+
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.data import (
+        CocoDataset,
+        build_dataloader,
+        build_native_eval_loader,
+        native_eval_loader_usable,
+    )
+
+    rng = np.random.default_rng(3)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, anns = [], []
+    for i, (h, w) in enumerate([(120, 200), (100, 150), (140, 210), (90, 160), (130, 205)]):
+        data = _test_jpeg(h, w, seed=10 + i)
+        (img_dir / f"{i}.jpg").write_bytes(data)
+        images.append({"id": i + 1, "file_name": f"{i}.jpg", "height": h, "width": w})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [5, 5, 30, 30], "area": 900, "iscrowd": 0})
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps({
+        "images": images, "annotations": anns,
+        "categories": [{"id": 1, "name": "thing"}],
+    }))
+
+    cfg = get_cfg()
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST = 80
+    cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST = 160
+    cfg.INPUT.PAD_BUCKETS = [[96, 160], [160, 96]]
+    dataset = CocoDataset(str(ann_file), str(img_dir))
+    assert native_eval_loader_usable(cfg, dataset)
+
+    std = list(build_dataloader(cfg, dataset, training=False))
+    nat = list(build_native_eval_loader(cfg, dataset))
+    assert len(std) == len(nat)
+    for sb, nb in zip(std, nat):
+        np.testing.assert_array_equal(sb["image_id"], nb["image_id"])
+        np.testing.assert_array_equal(sb["image_size"], nb["image_size"])
+        np.testing.assert_array_equal(sb["original_size"], nb["original_size"])
+        assert sb["image"].shape == nb["image"].shape
+        # cv2 fixed-point decode+resize vs libjpeg float path: small pixel
+        # deltas only (1 LSB decode * bilinear spread).
+        assert np.abs(sb["image"] - nb["image"]).max() <= 4.0
