@@ -94,6 +94,7 @@ def _interp_weights(coords, ty, size_l, patch_size, out_size, ratio):
     return w  # [N, out, P]
 
 
+@jax.custom_vjp
 def _avgpool2x(f: jnp.ndarray) -> jnp.ndarray:
     # reduce_window compiles ~3x faster than reshape+mean on TPU (the
     # reshape forces an HBM relayout); f32 accumulation for exactness.
@@ -102,6 +103,29 @@ def _avgpool2x(f: jnp.ndarray) -> jnp.ndarray:
         (2, 2, 1), (2, 2, 1), "VALID",
     )
     return (s * 0.25).astype(f.dtype)
+
+
+def _avgpool2x_fwd(f):
+    # Zero-width template: carries the input's (h, w) and dtype through the
+    # residuals as a JAX value (residual leaves must be arrays).
+    return _avgpool2x(f), jnp.zeros((f.shape[0], f.shape[1], 0), f.dtype)
+
+
+def _avgpool2x_bwd(template, g):
+    # Exact transpose of the 2x2 mean: broadcast each cotangent cell to its
+    # 2x2 source window at weight 1/4 — a repeat, not XLA's autodiff
+    # transpose of reduce_window (which lowers to a slow scatter shape on
+    # TPU and dominated the pooler backward before this).
+    gf = g.astype(jnp.float32) * 0.25
+    gf = jnp.repeat(jnp.repeat(gf, 2, axis=0), 2, axis=1)
+    ph = template.shape[0] - gf.shape[0]
+    pw = template.shape[1] - gf.shape[1]
+    if ph or pw:  # odd input rows/cols fall outside every VALID window
+        gf = jnp.pad(gf, ((0, ph), (0, pw), (0, 0)))
+    return (gf.astype(template.dtype),)
+
+
+_avgpool2x.defvjp(_avgpool2x_fwd, _avgpool2x_bwd)
 
 
 class StorageMeta:

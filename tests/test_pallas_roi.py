@@ -198,3 +198,28 @@ def test_pooler_gradient_flows_through_storage():
     assert any(float(jnp.abs(g).sum()) > 0 for g in grads)
     # the small box pools from level 0 -> its gradient is nonzero there
     assert float(jnp.abs(grads[0]).sum()) > 0
+
+
+def test_avgpool2x_custom_vjp_matches_autodiff():
+    """The hand-written 2x-avgpool transpose (broadcast/4) must equal XLA's
+    autodiff of the same composite, including odd input sizes."""
+    from detectron2_tensorflow_tpu.models.poolers import _avgpool2x
+
+    def auto(f):
+        s = jax.lax.reduce_window(
+            f.astype(jnp.float32), 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1),
+            "VALID",
+        )
+        return (s * 0.25).astype(f.dtype)
+
+    rng = np.random.default_rng(0)
+    for h, w in [(8, 12), (9, 13), (25, 42)]:
+        f = jnp.asarray(rng.standard_normal((h, w, 16)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(_avgpool2x(f)), np.asarray(auto(f)), rtol=1e-6
+        )
+        g_got = jax.grad(lambda x: jnp.sum(_avgpool2x(x) ** 2))(f)
+        g_want = jax.grad(lambda x: jnp.sum(auto(x) ** 2))(f)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), atol=1e-5
+        )
