@@ -20,7 +20,14 @@ import optax
 from flax import struct
 
 from ..models.meta_arch.common import DetectorModel
-from ..parallel import batch_sharding, create_mesh, replicate, shard_batch
+from ..parallel import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    shard_batch,
+    shard_state,
+    state_shardings,
+)
 from ..solver import build_optimizer, scaled_max_iter
 
 logger = logging.getLogger(__name__)
@@ -64,12 +71,15 @@ def create_train_state(cfg, model: DetectorModel, rng: jax.Array, sample_batch) 
     )
 
 
-def build_train_step(cfg, model: DetectorModel, example_params, mesh=None):
+def build_train_step(cfg, model: DetectorModel, example_params, mesh=None,
+                     example_state=None):
     """Returns jitted step_fn(state, batch) -> (state, metrics).
 
-    With a mesh: params/state replicated, batch sharded over 'data'; XLA's
-    sharding propagation inserts the ICI gradient all-reduce (there is no
-    explicit pmean — see parallel/__init__.py).
+    With a mesh: batch sharded over 'data'; params replicated — or, when
+    the mesh has a 'model' axis > 1 and ``example_state`` is given,
+    column-sharded over it (tensor parallelism via parallel.leaf_sharding).
+    XLA's sharding propagation inserts the ICI gradient all-reduce (there
+    is no explicit pmean — see parallel/__init__.py).
     """
     tx = build_optimizer(cfg, example_params)
 
@@ -112,6 +122,18 @@ def build_train_step(cfg, model: DetectorModel, example_params, mesh=None):
         return jax.jit(step_fn, donate_argnums=(0,))
     bs = batch_sharding(mesh)
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    if mesh.shape.get("model", 1) > 1 and example_state is not None:
+        # dp x tp: batch over 'data', large kernels (and their optimizer
+        # mirrors) column-split over 'model' (parallel.leaf_sharding); XLA
+        # propagates the channel sharding and inserts the collectives.
+        st = state_shardings(mesh, example_state)
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(st, bs),
+            out_shardings=(st, rep),
+        )
     return jax.jit(
         step_fn,
         donate_argnums=(0,),
@@ -203,8 +225,11 @@ def train(
                 params=loaded.pop("params"), model_state=loaded
             )
 
-    state = replicate(mesh, state)
-    step_fn = build_train_step(cfg, model, state.params, mesh)
+    if mesh.shape.get("model", 1) > 1:
+        state = shard_state(mesh, state)
+    else:
+        state = replicate(mesh, state)
+    step_fn = build_train_step(cfg, model, state.params, mesh, example_state=state)
 
     metric_logger = None
     if checkpoint_dir:

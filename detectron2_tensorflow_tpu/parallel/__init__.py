@@ -53,3 +53,48 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+# -- tensor (model-axis) sharding ----------------------------------------------
+
+MIN_SHARD_PARAM_SIZE = 1 << 16  # below this, replication is cheaper than
+# the all-gather/collective traffic sharding would add
+
+
+def leaf_sharding(mesh: Mesh, x) -> NamedSharding:
+    """Shape rule for model-axis tensor sharding of one array.
+
+    Kernels (ndim >= 2) split their LAST axis (output features for both
+    HWIO convs and [in, out] FC weights) over ``model`` when it divides
+    evenly and the tensor is large enough to pay for itself; everything
+    else (biases, norm scales, scalars, BN stats) replicates. XLA's SPMD
+    partitioner propagates the resulting output-channel sharding through
+    the network and inserts the collectives — Megatron-style column
+    parallelism without per-layer annotations.
+    """
+    model = mesh.shape["model"]
+    shape = getattr(x, "shape", ())
+    if (
+        model > 1
+        and len(shape) >= 2
+        and shape[-1] % model == 0
+        and int(np.prod(shape)) >= MIN_SHARD_PARAM_SIZE
+    ):
+        return NamedSharding(
+            mesh, P(*([None] * (len(shape) - 1) + ["model"]))
+        )
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(mesh: Mesh, tree: Any) -> Any:
+    """Sharding pytree for a TrainState (or any param/opt tree): the leaf
+    shape rule applied everywhere. With ``model`` axis size 1 this is
+    all-replicated (the data-parallel-only configuration)."""
+    return jax.tree.map(lambda x: leaf_sharding(mesh, x), tree)
+
+
+def shard_state(mesh: Mesh, tree: Any) -> Any:
+    """Place a host-side state pytree onto the mesh per state_shardings."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, leaf_sharding(mesh, x)), tree
+    )

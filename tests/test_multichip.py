@@ -66,3 +66,19 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(
             float(m1[k]), float(m8[k]), rtol=2e-4, atol=1e-5,
         ), k
+
+    # dp x tp: 4 data x 2 model — large kernels column-sharded over 'model'
+    # (parallel.leaf_sharding); the losses must not change.
+    from detectron2_tensorflow_tpu.parallel import shard_state
+
+    state3 = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    mesh2 = create_mesh(data_axis=4, model_axis=2)
+    state3 = shard_state(mesh2, state3)
+    step42 = build_train_step(
+        cfg, model, state3.params, mesh=mesh2, example_state=state3
+    )
+    _, m42 = step42(state3, shard_batch(mesh2, batch))
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m42[k]), rtol=2e-4, atol=1e-5,
+        ), k
