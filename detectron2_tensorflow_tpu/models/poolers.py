@@ -22,6 +22,7 @@ aligned=True.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Sequence
 
@@ -284,13 +285,26 @@ def pool_from_storage(
     canonical_level: int = 4,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """ROIAlign [N, out, out, C] from a pre-built storage plane."""
+    """ROIAlign from a pre-built storage plane.
+
+    Batched ([B, Htot, Wm, C] storage + [B, N, 4] boxes -> [B, N, S, S, C])
+    or single-image ([Htot, Wm, C] + [N, 4] -> [N, S, S, C]). The batch is
+    passed to the Pallas kernels as a native grid dimension — do NOT wrap
+    this in jax.vmap for a batch (vmap of the kernel falls back to a
+    sequential lax.map; see ops/pallas/roi_patch.py).
+    """
     if sampling_ratio <= 0:
         sampling_ratio = 2
-    starts, wy, wx = plan_rois(
-        meta, boxes, output_size, sampling_ratio, canonical_box_size,
-        canonical_level,
+    batched = storage.ndim == 4
+    plan = functools.partial(
+        plan_rois,
+        meta,
+        output_size=output_size,
+        sampling_ratio=sampling_ratio,
+        canonical_box_size=canonical_box_size,
+        canonical_level=canonical_level,
     )
+    starts, wy, wx = (jax.vmap(plan) if batched else plan)(boxes)
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu" and storage.dtype == jnp.bfloat16
@@ -302,18 +316,23 @@ def pool_from_storage(
 
     p = meta.patch_size
     c = storage.shape[-1]
-
-    def fetch(st):
-        # st[2] (row-span class) only matters for the Pallas DMA narrowing.
-        return jax.lax.dynamic_slice(storage, (st[0], st[1], 0), (p, p, c))
-
-    patches = jax.vmap(fetch)(starts)  # [N, P, P, C]
     dt = storage.dtype
     prec = (
         jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     )
-    a = jnp.einsum("nop,npqc->noqc", wy.astype(dt), patches, precision=prec)
-    return jnp.einsum("nuq,noqc->nouc", wx.astype(dt), a, precision=prec)
+
+    def one(plane, st_i, wy_i, wx_i):
+        def fetch(st):
+            # st[2] (row-span class) only matters for the Pallas narrowing.
+            return jax.lax.dynamic_slice(plane, (st[0], st[1], 0), (p, p, c))
+
+        patches = jax.vmap(fetch)(st_i)  # [N, P, P, C]
+        a = jnp.einsum("nop,npqc->noqc", wy_i.astype(dt), patches, precision=prec)
+        return jnp.einsum("nuq,noqc->nouc", wx_i.astype(dt), a, precision=prec)
+
+    if batched:
+        return jax.vmap(one)(storage, starts, wy, wx)
+    return one(storage, starts, wy, wx)
 
 
 def plan_pooling(
@@ -444,7 +463,8 @@ class ROIPooler:
         )
 
     def pool(self, storage, meta, boxes: jnp.ndarray) -> jnp.ndarray:
-        """ROIAlign from a pre-built storage plane (single image)."""
+        """ROIAlign from pre-built storage — batched [B, Htot, Wm, C] (the
+        batch rides the Pallas grid; never jax.vmap this) or single-image."""
         return pool_from_storage(
             storage, meta, boxes, self.output_size, self.sampling_ratio,
             self.canonical_box_size, self.canonical_level,

@@ -168,9 +168,10 @@ class StandardROIHeads:
             )([f for f in feats], boxes)
         else:
             storage, meta = storage_pack
-            pooled = jax.vmap(
-                lambda st, b: pooler.pool(st, meta, b)
-            )(storage, boxes)
+            # Batched natively — the Pallas kernels take the batch as a grid
+            # dimension; jax.vmap here would fall back to a sequential
+            # lax.map (see ops/pallas/roi_patch.py).
+            pooled = pooler.pool(storage, meta, boxes)
         return pooled.reshape((-1,) + pooled.shape[2:])
 
     def pool_box_features(self, features: Dict, boxes: jnp.ndarray,

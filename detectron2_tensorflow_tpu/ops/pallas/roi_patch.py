@@ -5,15 +5,21 @@ The XLA formulation of patch-based ROIAlign (models/poolers.py) gathers
 with high per-slice overhead (~10 ms/img at production shapes). This kernel
 replaces it with the memory system's native operation:
 
-  * grid over ROIs; each step issues ONE strided DMA
-    HBM[row:row+P, tx:tx+P, :] -> VMEM (the pyramid levels are
-    row-concatenated into one plane by the caller), double-buffered so the next
-    ROI's patch streams in while the current one computes;
+  * grid over (image, ROI); each step issues ONE strided DMA
+    HBM[b, row:row+P, tx:tx+P, :] -> VMEM (the pyramid levels are
+    row-concatenated into one plane per image by the caller), double-buffered
+    so the next ROI's patch streams in while the current one computes;
   * the bilinear interpolation (+ sampling-bin average, folded into the
     weight matrices by the caller) runs on the MXU in-kernel:
     out = Wy (S x P) @ patch (P x PC) then contract the second P with Wx;
   * only the [S, S, C] result is written back — patch bytes never hit HBM
     twice.
+
+The batch is a NATIVE grid dimension, not jax.vmap: vmap of a pallas_call
+with ANY-space operands falls back to a sequential lax.map whose per-image
+dynamic_update_slice on the [Htot, Wm, C] f32 gradient plane costs more
+than the kernel itself (~6.6 ms/image measured on v5e — the while-loop DUS
+dominated the whole pooler backward before this).
 
 ROI coordinates arrive via scalar prefetch so DMA addresses are known before
 the kernel body runs. The caller quantizes tx to the sublane tiling (8);
@@ -41,53 +47,56 @@ ROW_TIERS = (16,)
 
 def _make_kernel(precision, row_tiers):
     def kernel(starts_ref, stacked_ref, wy_ref, wx_ref, out_ref, patch_ref, sem_ref):
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        n = pl.num_programs(1)
         p = patch_ref.shape[1]
         tiers = [r for r in row_tiers if r < p] + [p]
 
         def dma_for(idx, slot, rows):
-            row = starts_ref[idx, 0]
-            tx = pl.multiple_of(starts_ref[idx, 1], 8)
+            row = starts_ref[0, b, idx]
+            tx = pl.multiple_of(starts_ref[1, b, idx], 8)
             return pltpu.make_async_copy(
-                stacked_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
+                stacked_ref.at[b, pl.ds(row, rows), pl.ds(tx, p), :],
                 patch_ref.at[slot, pl.ds(0, rows)],
                 sem_ref.at[slot],
             )
 
-        def tiered(idx, slot, op):
+        def tiered(idx, op):
             # The DMA is narrowed to the ROI's weight-bearing row tier
             # (starts[:, 2]); start and wait branch identically so the
             # awaited byte count matches the issued copy.
-            cls = starts_ref[idx, 2]
+            cls = starts_ref[2, b, idx]
             for k, r in enumerate(tiers):
                 @pl.when(cls == k)
                 def _(r=r):
-                    op(dma_for(idx, slot, r))
+                    op(dma_for(idx, jax.lax.rem(idx, 2), r))
 
-        slot = jax.lax.rem(i, 2)
-        next_slot = jax.lax.rem(i + 1, 2)
-
-        @pl.when(i == 0)
+        @pl.when((b == 0) & (i == 0))
         def _():
             # Rows beyond a narrowed DMA stay stale in VMEM; their hat
             # weights are exactly zero, but uninitialized VMEM could hold
             # NaN bit patterns (NaN * 0 = NaN) — zero both slots once.
             patch_ref[...] = jnp.zeros_like(patch_ref)
-            tiered(0, 0, lambda cp: cp.start())
+
+        @pl.when(i == 0)
+        def _():
+            # First ROI of each image: nothing prefetched it.
+            tiered(0, lambda cp: cp.start())
 
         @pl.when(i + 1 < n)
         def _():
-            tiered(i + 1, next_slot, lambda cp: cp.start())
+            tiered(i + 1, lambda cp: cp.start())
 
-        tiered(i, slot, lambda cp: cp.wait())
+        tiered(i, lambda cp: cp.wait())
+        slot = jax.lax.rem(i, 2)
 
         p = patch_ref.shape[1]
         c = patch_ref.shape[3]
-        s = wy_ref.shape[1]
+        s = wy_ref.shape[2]
         patch = patch_ref[slot]  # [P, P, C]
-        wy = wy_ref[0]  # [S, P]
-        wx = wx_ref[0]  # [S, P]
+        wy = wy_ref[0, 0]  # [S, P]
+        wx = wx_ref[0, 0]  # [S, P]
 
         # a[o, q, c] = sum_p wy[o, p] * patch[p, q, c]
         a = jax.lax.dot_general(
@@ -106,7 +115,7 @@ def _make_kernel(precision, row_tiers):
             precision=precision,
         )  # [S(u), S(o), C]
         out = jnp.swapaxes(out, 0, 1)  # [o, u, C]
-        out_ref[0] = out.astype(out_ref.dtype)
+        out_ref[0, 0] = out.astype(out_ref.dtype)
 
     return kernel
 
@@ -122,60 +131,61 @@ def _make_bwd_kernel(row_tiers, group):
 
         out_ref is HBM (aliased to a zeros input); the sequential grid makes
         the RMW race-free. A one-ROI-per-step RMW is dominated by per-step
-        sequencing overhead and un-overlapped DMA latency (~17 us/ROI
-        measured on v5e — the matmuls are microseconds), so each step
-        handles GROUP ROIs: all reads issue back-to-back (latencies
-        overlap), each member's accumulate + write-back issues as soon as
-        its read lands, and the step ends waiting the writes. The caller
-        (roi_patch_backward) orders ROIs so group members are spatially far
-        apart; starts[base, 3] == 1 flags the rare group whose members'
-        regions DO intersect, which degrades to the fully serialized
-        read->add->write chain per member. All semaphores are produced and
-        consumed within one step — no cross-step DMA state.
+        sequencing overhead and un-overlapped DMA latency (the matmuls are
+        microseconds), so each step handles GROUP ROIs: all reads issue
+        back-to-back (latencies overlap), each member's accumulate +
+        write-back issues as soon as its read lands, and the step ends
+        waiting the writes. The caller (roi_patch_backward) orders ROIs so
+        group members are spatially far apart; starts[b, base, 3] == 1
+        flags the rare group whose members' regions DO intersect, which
+        degrades to the fully serialized read->add->write chain per member.
+        All semaphores are produced and consumed within one step — no
+        cross-step DMA state.
 
         gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q]; the RMW window is
         narrowed to each ROI's weight-bearing row tier (rows beyond it have
         identically-zero gradient).
         """
         del zeros_ref  # aliased into out_ref; presence zero-initializes it
-        j = pl.program_id(0)
+        b = pl.program_id(0)
+        j = pl.program_id(1)
         p = patch_ref.shape[1]
         c = patch_ref.shape[3]
-        s = wy_ref.shape[1]
+        s = wy_ref.shape[2]
         tiers = [r for r in row_tiers if r < p] + [p]
         base = j * group
 
         def read_for(k, rows):
-            row = starts_ref[base + k, 0]
-            tx = pl.multiple_of(starts_ref[base + k, 1], 8)
+            row = starts_ref[0, b, base + k]
+            tx = pl.multiple_of(starts_ref[1, b, base + k], 8)
             return pltpu.make_async_copy(
-                out_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
+                out_ref.at[b, pl.ds(row, rows), pl.ds(tx, p), :],
                 patch_ref.at[k, pl.ds(0, rows)],
                 rsem_ref.at[k],
             )
 
         def write_for(k, rows):
-            row = starts_ref[base + k, 0]
-            tx = pl.multiple_of(starts_ref[base + k, 1], 8)
+            row = starts_ref[0, b, base + k]
+            tx = pl.multiple_of(starts_ref[1, b, base + k], 8)
             return pltpu.make_async_copy(
                 outbuf_ref.at[k, pl.ds(0, rows)],
-                out_ref.at[pl.ds(row, rows), pl.ds(tx, p), :],
+                out_ref.at[b, pl.ds(row, rows), pl.ds(tx, p), :],
                 wsem_ref.at[k],
             )
 
         def tiered(k, fn):
             # Branch start/wait identically by the ROI's row tier so the
             # awaited byte count always matches the issued copy.
-            cls = starts_ref[base + k, 2]
+            cls = starts_ref[2, b, base + k]
             for t_i, r in enumerate(tiers):
                 @pl.when(cls == t_i)
                 def _(r=r):
                     fn(r)
 
         def gp_for(k):
-            g = g_ref[k].astype(jnp.float32)  # [S, S, C]
-            wy = wy_ref[k]  # [S, P]
-            wx = wx_ref[k]
+            g = g_ref[0, k].astype(jnp.float32)  # [S, S, C]
+            wy = wy_ref[0, k]  # [S, P]
+            wx = wx_ref[0, k]
             # t[p, u, c] = sum_o wy[o, p] * g[o, u, c]
             t = jax.lax.dot_general(
                 wy, g.reshape(s, s * c),
@@ -190,7 +200,7 @@ def _make_bwd_kernel(row_tiers, group):
             )  # [Q(P), P, C]
             return jnp.swapaxes(gp, 0, 1)  # [P, Q, C]
 
-        hazard = starts_ref[base, 3]
+        hazard = starts_ref[3, b, base]
 
         @pl.when(hazard == 0)
         def _():
@@ -230,69 +240,81 @@ def _make_bwd_kernel(row_tiers, group):
 def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
     """Accumulate per-ROI patch gradients into a fresh f32 pyramid.
 
+    Batched: g [B, N, S, S, C], starts [B, N, 3], wy/wx [B, N, S, P],
+    out_shape (B, Htot, Wm, C). Unbatched 3-/2-d inputs are promoted to a
+    batch of one.
+
     Accumulation is order-independent, so ROIs are re-ordered for the
     grouped kernel: sort by region (row, tx), then deal the sorted order
     round-robin into BWD_GROUP-member groups — members sit ~n/GROUP sorted
     positions apart, so their regions almost never intersect and the group
     can run its DMAs concurrently. A group whose members DO intersect
-    (pairwise [P, P]-window test) is flagged in starts[:, 3] and the kernel
-    serializes it. The ROI list is padded to a group multiple with zero-
-    gradient dummies aimed at the plane's trailing zero rows.
+    (pairwise [P, P]-window test) is flagged in starts[..., 3] and the
+    kernel serializes it. The ROI list is padded to a group multiple with
+    zero-gradient dummies aimed at the plane's trailing zero rows.
     """
-    n, s, p = wy.shape
+    squeeze = g.ndim == 4
+    if squeeze:
+        g, starts, wy, wx = (x[None] for x in (g, starts, wy, wx))
+        out_shape = (1,) + tuple(out_shape)
+    bsz, n, s, p = wy.shape
     c = out_shape[-1]
     group = BWD_GROUP
     m = -(-n // group) * group
     pad = m - n
 
-    rows = starts[:, 0]
-    txs = starts[:, 1]
-    cls = starts[:, 2]
+    rows = starts[..., 0]
+    txs = starts[..., 1]
+    cls = starts[..., 2]
     # Sort by region; padding sorts last (key above any real region).
     key = rows * 2048 + txs
     if pad:
         full_cls = len([r for r in ROW_TIERS if r < p])
-        key = jnp.concatenate([key, jnp.full((pad,), jnp.int32(2 ** 30))])
-        rows = jnp.concatenate(
-            [rows, jnp.full((pad,), jnp.int32(out_shape[0] - p))]
-        )
-        txs = jnp.concatenate([txs, jnp.zeros((pad,), jnp.int32)])
-        cls = jnp.concatenate([cls, jnp.full((pad,), jnp.int32(full_cls))])
-        g = jnp.concatenate([g, jnp.zeros((pad, s, s, c), g.dtype)])
-        wy = jnp.concatenate([wy, jnp.zeros((pad, s, p), wy.dtype)])
-        wx = jnp.concatenate([wx, jnp.zeros((pad, s, p), wx.dtype)])
-    order = jnp.argsort(key)
-    # exec[j*G + k] = order[k*q + j]: group j's members are q apart.
+        fill = lambda v, shape=(bsz, pad): jnp.full(shape, jnp.int32(v))
+        key = jnp.concatenate([key, fill(2 ** 30)], axis=1)
+        rows = jnp.concatenate([rows, fill(out_shape[1] - p)], axis=1)
+        txs = jnp.concatenate([txs, fill(0)], axis=1)
+        cls = jnp.concatenate([cls, fill(full_cls)], axis=1)
+        g = jnp.concatenate([g, jnp.zeros((bsz, pad, s, s, c), g.dtype)], 1)
+        wy = jnp.concatenate([wy, jnp.zeros((bsz, pad, s, p), wy.dtype)], 1)
+        wx = jnp.concatenate([wx, jnp.zeros((bsz, pad, s, p), wx.dtype)], 1)
+    order = jnp.argsort(key, axis=1)
+    # exec[b, j*G + k] = order[b, k*q + j]: group j's members are q apart.
     q = m // group
-    exec_order = jnp.swapaxes(order.reshape(group, q), 0, 1).reshape(-1)
+    exec_order = jnp.swapaxes(order.reshape(bsz, group, q), 1, 2).reshape(bsz, m)
 
-    rows = jnp.take(rows, exec_order)
-    txs = jnp.take(txs, exec_order)
-    cls = jnp.take(cls, exec_order)
-    g = jnp.take(g, exec_order, axis=0)  # native dtype; kernel casts to f32
-    wy = jnp.take(wy, exec_order, axis=0)
-    wx = jnp.take(wx, exec_order, axis=0)
+    take = lambda a: jnp.take_along_axis(
+        a, exec_order.reshape((bsz, m) + (1,) * (a.ndim - 2)), axis=1
+    )
+    rows = jnp.take_along_axis(rows, exec_order, axis=1)
+    txs = jnp.take_along_axis(txs, exec_order, axis=1)
+    cls = jnp.take_along_axis(cls, exec_order, axis=1)
+    g = take(g)  # native dtype; kernel casts to f32
+    wy = take(wy)
+    wx = take(wx)
 
     # Group hazard: any pairwise region overlap among the group's members.
-    gr = rows.reshape(q, group)
-    gt = txs.reshape(q, group)
-    dy = jnp.abs(gr[:, :, None] - gr[:, None, :])
-    dx = jnp.abs(gt[:, :, None] - gt[:, None, :])
+    gr = rows.reshape(bsz, q, group)
+    gt = txs.reshape(bsz, q, group)
+    dy = jnp.abs(gr[:, :, :, None] - gr[:, :, None, :])
+    dx = jnp.abs(gt[:, :, :, None] - gt[:, :, None, :])
     pair = (dy < p) & (dx < p)
-    pair = pair & ~jnp.eye(group, dtype=bool)[None]
-    hazard = jnp.any(pair, axis=(1, 2)).astype(jnp.int32)  # [q]
+    pair = pair & ~jnp.eye(group, dtype=bool)[None, None]
+    hazard = jnp.any(pair, axis=(2, 3)).astype(jnp.int32)  # [B, q]
+    # SMEM layout: [4, B, m] — the per-ROI axis must be LAST (SMEM pads
+    # the minor dim to 128 lanes; [B, m, 4] would blow the 1MB budget).
     starts4 = jnp.stack(
-        [rows, txs, cls, jnp.repeat(hazard, group)], axis=1
-    )
+        [rows, txs, cls, jnp.repeat(hazard, group, axis=1)], axis=0
+    )  # [4, B, m]
 
     zeros = jnp.zeros(out_shape, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(q,),
+        grid=(bsz, q),
         in_specs=[
-            pl.BlockSpec((group, s, s, c), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((group, s, p), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((group, s, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, group, s, s, c), lambda b, j, *_: (b, j, 0, 0, 0)),
+            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
+            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to out)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -303,7 +325,7 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
             pltpu.SemaphoreType.DMA((group,)),  # write sems
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_bwd_kernel(ROW_TIERS, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
@@ -311,11 +333,12 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(starts4, g, wy, wx, zeros)
+    return out[0] if squeeze else out
 
 
 @jax.custom_vjp
 def roi_patch_interpolate_diff(stacked, starts, wy, wx):
-    """Differentiable wrapper: Pallas forward, XLA scatter-add backward.
+    """Differentiable wrapper: Pallas forward, Pallas RMW backward.
 
     Gradients flow to ``stacked`` only (ROI boxes are stop-gradient in the
     R-CNN training semantics, so wy/wx/starts get zeros).
@@ -324,9 +347,9 @@ def roi_patch_interpolate_diff(stacked, starts, wy, wx):
 
 
 def _fwd(stacked, starts, wy, wx):
-    # The zero template carries shape/dtype into bwd (residual leaves must be
-    # JAX types); XLA folds it away.
-    template = jnp.zeros_like(stacked)
+    # Zero-width template: carries the plane's leading dims and dtype into
+    # bwd statically (residual leaves must be JAX values); XLA folds it away.
+    template = jnp.zeros(stacked.shape[:-1] + (0,), stacked.dtype)
     return roi_patch_interpolate(stacked, starts, wy, wx), (
         template,
         starts,
@@ -337,9 +360,9 @@ def _fwd(stacked, starts, wy, wx):
 
 def _bwd(res, g):
     template, starts, wy, wx = res
-    shape, dtype = template.shape, template.dtype
-    acc = roi_patch_backward(g, starts, wy, wx, out_shape=tuple(shape))
-    return acc.astype(dtype), None, None, None
+    shape = template.shape[:-1] + (g.shape[-1],)
+    acc = roi_patch_backward(g, starts, wy, wx, out_shape=shape)
+    return acc.astype(template.dtype), None, None, None
 
 
 roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
@@ -347,37 +370,47 @@ roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def roi_patch_interpolate(
-    stacked: jnp.ndarray,  # [Htot, Wm, C] row-concatenated pyramid
-    starts: jnp.ndarray,  # [N, 3] int32 (row, tx, row-tier); tx multiple of 8
-    wy: jnp.ndarray,  # [N, S, P] f32 bin-averaged hat weights
-    wx: jnp.ndarray,  # [N, S, P]
+    stacked: jnp.ndarray,  # [B, Htot, Wm, C] row-concatenated pyramids
+    starts: jnp.ndarray,  # [B, N, 3] int32 (row, tx, row-tier); tx mult of 8
+    wy: jnp.ndarray,  # [B, N, S, P] f32 bin-averaged hat weights
+    wx: jnp.ndarray,  # [B, N, S, P]
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns [N, S, S, C] pooled features in stacked's dtype."""
-    n, s, p = wy.shape
+    """Returns [B, N, S, S, C] pooled features in stacked's dtype.
+
+    Unbatched 3-/2-d inputs are promoted to a batch of one.
+    """
+    squeeze = stacked.ndim == 3
+    if squeeze:
+        stacked, starts, wy, wx = (x[None] for x in (stacked, starts, wy, wx))
+    bsz, n, s, p = wy.shape
     c = stacked.shape[-1]
+    # SMEM layout: per-ROI axis last (see roi_patch_backward).
+    starts_t = jnp.moveaxis(starts, 2, 0)  # [3, B, N]
     # HIGHEST (six-pass) inside Mosaic hangs compilation at these shapes;
     # float32 callers route to the XLA path instead (models/poolers.py), so
     # this kernel always runs native MXU precision.
     precision = jax.lax.Precision.DEFAULT
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
+        grid=(bsz, n),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stacked stays in HBM
-            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, s, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s, p), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, s, p), lambda b, i, *_: (b, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s, s, c), lambda i, *_: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, 1, s, s, c), lambda b, i, *_: (b, i, 0, 0, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, p, p, c), stacked.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_kernel(precision, ROW_TIERS),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, s, s, c), stacked.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, s, s, c), stacked.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
                 1.2 * (2 * p * p * c + 2 * s * p + s * s * c)
@@ -386,4 +419,5 @@ def roi_patch_interpolate(
             ),
         ),
         interpret=interpret,
-    )(starts, stacked, wy, wx)
+    )(starts_t, stacked, wy, wx)
+    return out[0] if squeeze else out

@@ -223,3 +223,62 @@ def test_avgpool2x_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(g_got), np.asarray(g_want), atol=1e-5
         )
+
+
+def test_batched_pool_matches_per_image_interpret():
+    """The native-batch kernel path must equal per-image pooling."""
+    from detectron2_tensorflow_tpu.models.poolers import (
+        ROIPooler,
+        pool_from_storage,
+    )
+
+    rng = np.random.default_rng(5)
+    B = 3
+    pooler = ROIPooler(7, [4, 8, 16, 32], 2, max_image_size=384)
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((B, 64 // 2**i, 96 // 2**i, 32)).astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    boxes = jnp.asarray(np.stack([_boxes(rng, n=6) for _ in range(B)]))
+
+    st, meta = jax.vmap(lambda pf: pooler.build_storage(pf)[0])(
+        [f for f in feats]
+    ), None
+    # meta from a single-image build (identical layout across the batch)
+    _, meta = pooler.build_storage([f[0] for f in feats])
+    batched = pool_from_storage(st, meta, boxes, 7, 2, use_pallas=False)
+    for b in range(B):
+        single = pool_from_storage(st[b], meta, boxes[b], 7, 2, use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(batched[b]), np.asarray(single), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_batched_backward_matches_sum_of_single_interpret():
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
+        ROW_TIERS,
+        roi_patch_backward,
+    )
+
+    rng = np.random.default_rng(9)
+    B, n, s, p, c = 2, 6, 7, 32, 128
+    shape = (96, 64, c)
+    g = jnp.asarray(rng.standard_normal((B, n, s, s, c)).astype(np.float32))
+    wy = jnp.asarray(rng.uniform(0, 1, (B, n, s, p)).astype(np.float32))
+    wx = jnp.asarray(rng.uniform(0, 1, (B, n, s, p)).astype(np.float32))
+    full_cls = len([r for r in ROW_TIERS if r < p])
+    rows = rng.integers(0, 96 - p, (B, n))
+    txs = rng.integers(0, (64 - p) // 8 + 1, (B, n)) * 8
+    starts = jnp.asarray(
+        np.stack([rows, txs, np.full((B, n), full_cls)], -1), jnp.int32
+    )
+    got = roi_patch_backward(
+        g, starts, wy, wx, out_shape=(B,) + shape, interpret=True
+    )
+    for b in range(B):
+        want = _manual_scatter(shape, starts[b], g[b], wy[b], wx[b], p)
+        np.testing.assert_allclose(
+            np.asarray(got[b]), want, atol=1e-3, rtol=1e-4
+        )
