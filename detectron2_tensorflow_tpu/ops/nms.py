@@ -50,6 +50,7 @@ def nms(
     scores: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    max_keep: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact greedy NMS over ``[N, 4]`` boxes.
 
@@ -59,6 +60,14 @@ def nms(
       * ``kept_scores`` [N] — scores in sorted order, NEG_INF where dropped.
 
     Callers take the top-k of ``kept_scores`` to get a fixed-size result.
+
+    ``max_keep``: stop the block sweep once that many boxes survive. EXACT
+    for any consumer of at most the top ``max_keep`` survivors (greedy
+    NMS's keep decisions depend only on earlier, higher-scoring boxes, and
+    blocks run in score order — the same early-exit
+    ``tf.image.non_max_suppression(max_output_size=k)`` performs). Cuts the
+    sequential sweep from N/BLOCK blocks to however many hold the first
+    ``max_keep`` survivors (RPN at train: ~94 -> ~10).
     """
     n = boxes.shape[0]
     if valid is None:
@@ -81,7 +90,7 @@ def nms(
     tril_strict = row_ids[:, None] > row_ids[None, :]  # j < i within block
 
     def process_block(keep_so_far, block_idx):
-        start = block_idx * BLOCK
+        start = block_idx * BLOCK  # traced when called from the while loop
         rows = jax.lax.dynamic_slice_in_dim(sorted_boxes_p, start, BLOCK, 0)
         rows_valid = jax.lax.dynamic_slice_in_dim(sorted_valid_p, start, BLOCK, 0)
         # IoU of this block against every box (computed once per row-block).
@@ -118,9 +127,27 @@ def nms(
         return keep_so_far, None
 
     keep_init = jnp.zeros((n_pad,), bool)
-    keep_final, _ = jax.lax.scan(
-        process_block, keep_init, jnp.arange(num_blocks)
-    )
+    if max_keep is None or max_keep >= n:
+        keep_final, _ = jax.lax.scan(
+            process_block, keep_init, jnp.arange(num_blocks)
+        )
+    else:
+        def sweep_cond(state):
+            _, block_idx, kept = state
+            return (block_idx < num_blocks) & (kept < max_keep)
+
+        def sweep_body(state):
+            keep_so_far, block_idx, kept = state
+            keep_so_far, _ = process_block(keep_so_far, block_idx)
+            return (
+                keep_so_far,
+                block_idx + 1,
+                jnp.sum(keep_so_far.astype(jnp.int32)),
+            )
+
+        keep_final, _, _ = jax.lax.while_loop(
+            sweep_cond, sweep_body, (keep_init, jnp.int32(0), jnp.int32(0))
+        )
     keep = keep_final[:n]
     kept_scores = jnp.where(keep, sorted_scores, NEG_INF)
     return order, keep, kept_scores
@@ -139,6 +166,10 @@ def nms_fixed(
     ``max_outputs``; ``indices`` point into the input array; invalid slots
     have score NEG_INF and valid False.
     """
+    # NOTE: passing max_keep=max_outputs here is exact (greedy prefix
+    # property) but measured SLOWER end-to-end: under vmap the early-exit
+    # while_loop lowers much worse than the scan (train step 37 -> 22
+    # img/s on v5e), so the full sweep stays.
     order, keep, kept_scores = nms(boxes, scores, iou_threshold, valid)
     k = min(max_outputs, boxes.shape[0])
     top_scores, top_pos = jax.lax.top_k(kept_scores, k)

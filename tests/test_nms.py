@@ -127,3 +127,28 @@ def test_spatial_top_k_matches_flat_top_k():
         np.testing.assert_array_equal(
             np.sort(np.asarray(got_i)), np.sort(np.asarray(want_i))
         )
+
+
+def test_nms_max_keep_early_exit_matches_full_sweep():
+    """nms(max_keep=k) stops the block sweep at k survivors; its top-k
+    survivors must equal the full sweep's (greedy prefix property)."""
+    from detectron2_tensorflow_tpu.ops.nms import nms
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ctr = rng.uniform(0, 800, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    order_f, keep_f, kept_f = (
+        np.asarray(x) for x in nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5)
+    )
+    full_survivors = order_f[keep_f]
+    for k in (10, 100, 500):
+        order, keep, kept = (
+            np.asarray(x)
+            for x in nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_keep=k)
+        )
+        early = order[keep]
+        assert len(early) >= min(k, len(full_survivors))
+        np.testing.assert_array_equal(early[:k], full_survivors[:k])
