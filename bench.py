@@ -23,7 +23,7 @@ import sys
 import time
 
 V100_BASELINE_IMG_S = 23.3
-BATCH_LADDER = (32, 16, 8)
+BATCH_LADDER = (48, 32, 16)
 RECOVERY_SECONDS = 210
 
 
