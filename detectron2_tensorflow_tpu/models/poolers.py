@@ -37,7 +37,7 @@ DEFAULT_PATCH = 56
 _ALIGN = 8  # TPU sublane alignment for the W-axis DMA start
 _EXTENT_MARGIN = 2 + (_ALIGN - 1)  # border + worst-case alignment shift
 
-from ..ops.pallas.roi_patch import ROW_TIERS  # narrow-DMA row tiers
+from ..ops.pallas.roi_patch import COL_TIERS, ROW_TIERS  # narrow-DMA window tiers
 
 
 def assign_boxes_to_levels(
@@ -259,17 +259,28 @@ def plan_rois(
 
     rows = jnp.take(offsets, levels) + ty.astype(jnp.int32)
 
-    # Row-span class: number of patch rows carrying nonzero hat weight is
-    # floor(last clamped sample) - ty + 2 (weights reach one cell past the
-    # last sample). The Pallas kernel narrows the per-ROI DMA to the
-    # smallest tier in ROW_TIERS covering the span — typical area-rule ROIs
-    # span <= 16 of the 32 rows, halving patch HBM traffic.
+    # Window class: the number of patch rows/cols carrying nonzero hat
+    # weight is floor(last clamped sample) - origin + 2 (weights reach one
+    # cell past the last sample; the col span additionally absorbs the tx
+    # sublane down-alignment because tx IS the aligned origin). The Pallas
+    # kernels narrow the per-ROI DMA to the smallest (row, col) tier combo
+    # covering both spans — typical area-rule ROIs span <= 16-24 of the 32
+    # patch cells per axis, cutting patch/RMW HBM traffic ~40%.
+    def tier_class(tiers, span):
+        c = jnp.full(span.shape, len(tiers), jnp.int32)
+        for k in reversed(range(len(tiers))):
+            c = jnp.where(span <= tiers[k], k, c)
+        return c
+
     last_y = jnp.clip(jnp.max(ys, axis=1), 0.0, jnp.maximum(h_l - 1, 0.0))
-    span = jnp.floor(last_y).astype(jnp.int32) - ty.astype(jnp.int32) + 2
-    tiers = [r for r in ROW_TIERS if r < p]
-    cls = jnp.full(span.shape, len(tiers), jnp.int32)
-    for k in reversed(range(len(tiers))):
-        cls = jnp.where(span <= tiers[k], k, cls)
+    span_y = jnp.floor(last_y).astype(jnp.int32) - ty.astype(jnp.int32) + 2
+    last_x = jnp.clip(jnp.max(xs, axis=1), 0.0, jnp.maximum(w_l - 1, 0.0))
+    span_x = jnp.floor(last_x).astype(jnp.int32) - tx.astype(jnp.int32) + 2
+    n_col = len([c for c in COL_TIERS if c < p]) + 1
+    cls = (
+        tier_class([r for r in ROW_TIERS if r < p], span_y) * n_col
+        + tier_class([c for c in COL_TIERS if c < p], span_x)
+    )
 
     starts = jnp.stack([rows, tx.astype(jnp.int32), cls], axis=1)  # [N, 3]
     return starts, wy, wx

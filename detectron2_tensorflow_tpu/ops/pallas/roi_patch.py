@@ -39,42 +39,62 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Narrow-DMA row tiers: a ROI whose weight-bearing row span fits tier r only
-# DMAs r of the patch's rows (models/poolers.plan_rois assigns the class in
-# starts[:, 2]). Sorted ascending; the full patch height is appended per call.
-ROW_TIERS = (16,)
+# Narrow-DMA window tiers: a ROI whose weight-bearing row/col span fits a
+# tier only DMAs that many patch rows/cols (models/poolers.plan_rois assigns
+# the combined class in starts[:, 2] = row_class * n_col_tiers + col_class).
+# Sorted ascending; the full patch extent is appended per call. Measured on
+# realistic area-rule boxes at P=32: row spans <=16 for 63% / <=24 for 100%,
+# col spans (which carry the tx alignment shift) <=16 for 43% / <=24 for 87%
+# — 2D tiers cut the RMW backward's HBM window traffic ~40%.
+ROW_TIERS = (16, 24)
+COL_TIERS = (16, 24)
 
 
-def _make_kernel(precision, row_tiers):
+def tier_combos(p):
+    """All (rows, cols) DMA window tiers for patch size ``p``.
+
+    ``starts[:, 2]`` indexes this list; the last entry is the full patch.
+    """
+    tr = [r for r in ROW_TIERS if r < p] + [p]
+    tc = [c for c in COL_TIERS if c < p] + [p]
+    return [(r, c) for r in tr for c in tc]
+
+
+def full_tier_class(p):
+    """Class index of the full-patch (un-narrowed) window."""
+    return len(tier_combos(p)) - 1
+
+
+def _make_kernel(precision):
     def kernel(starts_ref, stacked_ref, wy_ref, wx_ref, out_ref, patch_ref, sem_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
         n = pl.num_programs(1)
         p = patch_ref.shape[1]
-        tiers = [r for r in row_tiers if r < p] + [p]
+        combos = tier_combos(p)
 
-        def dma_for(idx, slot, rows):
+        def dma_for(idx, slot, rows, cols):
             row = starts_ref[0, b, idx]
             tx = pl.multiple_of(starts_ref[1, b, idx], 8)
             return pltpu.make_async_copy(
-                stacked_ref.at[b, pl.ds(row, rows), pl.ds(tx, p), :],
-                patch_ref.at[slot, pl.ds(0, rows)],
+                stacked_ref.at[b, pl.ds(row, rows), pl.ds(tx, cols), :],
+                patch_ref.at[slot, pl.ds(0, rows), pl.ds(0, cols)],
                 sem_ref.at[slot],
             )
 
         def tiered(idx, op):
-            # The DMA is narrowed to the ROI's weight-bearing row tier
-            # (starts[:, 2]); start and wait branch identically so the
-            # awaited byte count matches the issued copy.
+            # The DMA is narrowed to the ROI's weight-bearing (row, col)
+            # window tier (starts[:, 2]); start and wait branch identically
+            # so the awaited byte count matches the issued copy.
             cls = starts_ref[2, b, idx]
-            for k, r in enumerate(tiers):
+            for k, (r, ct) in enumerate(combos):
                 @pl.when(cls == k)
-                def _(r=r):
-                    op(dma_for(idx, jax.lax.rem(idx, 2), r))
+                def _(r=r, ct=ct):
+                    op(dma_for(idx, jax.lax.rem(idx, 2), r, ct))
 
         @pl.when((b == 0) & (i == 0))
         def _():
-            # Rows beyond a narrowed DMA stay stale in VMEM; their hat
+            # Rows/cols beyond a narrowed DMA stay stale in VMEM; their hat
             # weights are exactly zero, but uninitialized VMEM could hold
             # NaN bit patterns (NaN * 0 = NaN) — zero both slots once.
             patch_ref[...] = jnp.zeros_like(patch_ref)
@@ -123,7 +143,7 @@ def _make_kernel(precision, row_tiers):
 BWD_GROUP = 4  # ROIs accumulated per backward grid step
 
 
-def _make_bwd_kernel(row_tiers, group):
+def _make_bwd_kernel(group):
     def _bwd_kernel(starts_ref, g_ref, wy_ref, wx_ref, zeros_ref, out_ref,
                     patch_ref, outbuf_ref, rsem_ref, wsem_ref):
         """Backward: read-modify-write accumulation into the pyramid,
@@ -143,8 +163,8 @@ def _make_bwd_kernel(row_tiers, group):
         cross-step DMA state.
 
         gp[p, q, c] = sum_{o,u} wy[o,p] g[o,u,c] wx[u,q]; the RMW window is
-        narrowed to each ROI's weight-bearing row tier (rows beyond it have
-        identically-zero gradient).
+        narrowed to each ROI's weight-bearing (row, col) tier (cells beyond
+        it have identically-zero gradient).
         """
         del zeros_ref  # aliased into out_ref; presence zero-initializes it
         b = pl.program_id(0)
@@ -152,35 +172,35 @@ def _make_bwd_kernel(row_tiers, group):
         p = patch_ref.shape[1]
         c = patch_ref.shape[3]
         s = wy_ref.shape[2]
-        tiers = [r for r in row_tiers if r < p] + [p]
+        combos = tier_combos(p)
         base = j * group
 
-        def read_for(k, rows):
+        def read_for(k, rows, cols):
             row = starts_ref[0, b, base + k]
             tx = pl.multiple_of(starts_ref[1, b, base + k], 8)
             return pltpu.make_async_copy(
-                out_ref.at[b, pl.ds(row, rows), pl.ds(tx, p), :],
-                patch_ref.at[k, pl.ds(0, rows)],
+                out_ref.at[b, pl.ds(row, rows), pl.ds(tx, cols), :],
+                patch_ref.at[k, pl.ds(0, rows), pl.ds(0, cols)],
                 rsem_ref.at[k],
             )
 
-        def write_for(k, rows):
+        def write_for(k, rows, cols):
             row = starts_ref[0, b, base + k]
             tx = pl.multiple_of(starts_ref[1, b, base + k], 8)
             return pltpu.make_async_copy(
-                outbuf_ref.at[k, pl.ds(0, rows)],
-                out_ref.at[b, pl.ds(row, rows), pl.ds(tx, p), :],
+                outbuf_ref.at[k, pl.ds(0, rows), pl.ds(0, cols)],
+                out_ref.at[b, pl.ds(row, rows), pl.ds(tx, cols), :],
                 wsem_ref.at[k],
             )
 
         def tiered(k, fn):
-            # Branch start/wait identically by the ROI's row tier so the
+            # Branch start/wait identically by the ROI's window tier so the
             # awaited byte count always matches the issued copy.
             cls = starts_ref[2, b, base + k]
-            for t_i, r in enumerate(tiers):
+            for t_i, (r, ct) in enumerate(combos):
                 @pl.when(cls == t_i)
-                def _(r=r):
-                    fn(r)
+                def _(r=r, ct=ct):
+                    fn(r, ct)
 
         def gp_for(k):
             g = g_ref[0, k].astype(jnp.float32)  # [S, S, C]
@@ -205,18 +225,20 @@ def _make_bwd_kernel(row_tiers, group):
         @pl.when(hazard == 0)
         def _():
             for k in range(group):
-                tiered(k, lambda r, k=k: read_for(k, r).start())
+                tiered(k, lambda r, ct, k=k: read_for(k, r, ct).start())
             for k in range(group):
                 gp = gp_for(k)
 
-                def fin(r, k=k, gp=gp):
-                    read_for(k, r).wait()
-                    outbuf_ref[k, pl.ds(0, r)] = patch_ref[k, pl.ds(0, r)] + gp[:r]
-                    write_for(k, r).start()
+                def fin(r, ct, k=k, gp=gp):
+                    read_for(k, r, ct).wait()
+                    outbuf_ref[k, pl.ds(0, r), pl.ds(0, ct)] = (
+                        patch_ref[k, pl.ds(0, r), pl.ds(0, ct)] + gp[:r, :ct]
+                    )
+                    write_for(k, r, ct).start()
 
                 tiered(k, fin)
             for k in range(group):
-                tiered(k, lambda r, k=k: write_for(k, r).wait())
+                tiered(k, lambda r, ct, k=k: write_for(k, r, ct).wait())
 
         @pl.when(hazard == 1)
         def _():
@@ -224,12 +246,14 @@ def _make_bwd_kernel(row_tiers, group):
             for k in range(group):
                 gp = gp_for(k)
 
-                def serial(r, k=k, gp=gp):
-                    read_for(k, r).start()
-                    read_for(k, r).wait()
-                    outbuf_ref[k, pl.ds(0, r)] = patch_ref[k, pl.ds(0, r)] + gp[:r]
-                    write_for(k, r).start()
-                    write_for(k, r).wait()
+                def serial(r, ct, k=k, gp=gp):
+                    read_for(k, r, ct).start()
+                    read_for(k, r, ct).wait()
+                    outbuf_ref[k, pl.ds(0, r), pl.ds(0, ct)] = (
+                        patch_ref[k, pl.ds(0, r), pl.ds(0, ct)] + gp[:r, :ct]
+                    )
+                    write_for(k, r, ct).start()
+                    write_for(k, r, ct).wait()
 
                 tiered(k, serial)
 
@@ -269,7 +293,9 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
     # Sort by region; padding sorts last (key above any real region).
     key = rows * 2048 + txs
     if pad:
-        full_cls = len([r for r in ROW_TIERS if r < p])
+        # dummies carry zero gradient; give them the smallest window tier
+        # (cheapest DMA) aimed at the plane's trailing zero rows.
+        full_cls = 0
         fill = lambda v, shape=(bsz, pad): jnp.full(shape, jnp.int32(v))
         key = jnp.concatenate([key, fill(2 ** 30)], axis=1)
         rows = jnp.concatenate([rows, fill(out_shape[1] - p)], axis=1)
@@ -326,7 +352,7 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
         ],
     )
     out = pl.pallas_call(
-        _make_bwd_kernel(ROW_TIERS, group),
+        _make_bwd_kernel(group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         input_output_aliases={4: 0},  # zeros input (after scalar prefetch)
@@ -371,7 +397,7 @@ roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def roi_patch_interpolate(
     stacked: jnp.ndarray,  # [B, Htot, Wm, C] row-concatenated pyramids
-    starts: jnp.ndarray,  # [B, N, 3] int32 (row, tx, row-tier); tx mult of 8
+    starts: jnp.ndarray,  # [B, N, 3] int32 (row, tx, window-tier); tx mult of 8
     wy: jnp.ndarray,  # [B, N, S, P] f32 bin-averaged hat weights
     wx: jnp.ndarray,  # [B, N, S, P]
     interpret: bool = False,
@@ -408,7 +434,7 @@ def roi_patch_interpolate(
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(precision, ROW_TIERS),
+        _make_kernel(precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n, s, s, c), stacked.dtype),
         compiler_params=pltpu.CompilerParams(

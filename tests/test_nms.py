@@ -152,3 +152,35 @@ def test_nms_max_keep_early_exit_matches_full_sweep():
         early = order[keep]
         assert len(early) >= min(k, len(full_survivors))
         np.testing.assert_array_equal(early[:k], full_survivors[:k])
+
+
+def test_nms_max_keep_prefix_shortfall_runs_exact_tail():
+    """When the 2*max_keep prefix yields FEWER than max_keep survivors
+    (heavy suppression), the while tail must finish the sweep and still
+    match the full sweep exactly — including survivor exhaustion."""
+    rng = np.random.default_rng(13)
+    n, ncl = 2000, 40
+    centers = rng.uniform(50, 750, (ncl, 2))
+    which = rng.integers(0, ncl, n)
+    ctr = centers[which] + rng.normal(0, 1.5, (n, 2))  # near-identical boxes
+    wh = 40 + rng.normal(0, 1.0, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    order_f, keep_f, _ = (
+        np.asarray(x) for x in nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5)
+    )
+    full_survivors = order_f[keep_f]
+    # sanity: the scenario really is survivor-starved vs the prefix sizes
+    assert len(full_survivors) < 150, len(full_survivors)
+    for k in (100, 500):  # prefix = 256 / 1024 of 2000: both fall short
+        order, keep, _ = (
+            np.asarray(x)
+            for x in nms(
+                jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_keep=k
+            )
+        )
+        early = order[keep]
+        np.testing.assert_array_equal(
+            early[: min(k, len(full_survivors))],
+            full_survivors[: min(k, len(full_survivors))],
+        )

@@ -104,7 +104,7 @@ def test_pallas_backward_matches_manual_scatter_interpret():
     """Random ROIs: the grouped kernel's sort/deal reordering and padding
     must accumulate exactly (order-independence of the sum)."""
     from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
-        ROW_TIERS,
+        full_tier_class,
         roi_patch_backward,
     )
 
@@ -114,9 +114,8 @@ def test_pallas_backward_matches_manual_scatter_interpret():
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
-    # Dense random weights touch the whole patch: row-tier class = full
-    # patch (the index after all narrow tiers < p).
-    full_cls = len([r for r in ROW_TIERS if r < p])
+    # Dense random weights touch the whole patch: window class = full patch.
+    full_cls = full_tier_class(p)
     rows = rng.integers(0, 128 - p + 1, n)
     txs = rng.integers(0, (64 - p) // 8 + 1, n) * 8
     starts = jnp.asarray(
@@ -131,7 +130,7 @@ def test_pallas_backward_all_overlapping_rois_interpret():
     """Every ROI hits the SAME region — group members collide, the hazard
     flag must serialize the read-after-write chain exactly."""
     from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
-        ROW_TIERS,
+        full_tier_class,
         roi_patch_backward,
     )
 
@@ -141,7 +140,7 @@ def test_pallas_backward_all_overlapping_rois_interpret():
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
-    full_cls = len([r for r in ROW_TIERS if r < p])
+    full_cls = full_tier_class(p)
     starts = jnp.asarray(
         np.stack([np.full(n, 8), np.full(n, 16), np.full(n, full_cls)], 1),
         jnp.int32,
@@ -155,7 +154,7 @@ def test_pallas_backward_disjoint_rois_grouped_interpret():
     """Fully disjoint ROIs take the concurrent group path; each region must
     hold exactly its own gradient."""
     from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
-        ROW_TIERS,
+        full_tier_class,
         roi_patch_backward,
     )
 
@@ -165,7 +164,7 @@ def test_pallas_backward_disjoint_rois_grouped_interpret():
     g = jnp.asarray(rng.standard_normal((n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (n, s, p)).astype(np.float32))
-    full_cls = len([r for r in ROW_TIERS if r < p])
+    full_cls = full_tier_class(p)
     rows = np.arange(8) * 36  # pairwise row distance >= 36 > P: no overlap
     txs = np.array([0, 40, 80, 0, 40, 80, 0, 40])
     starts = jnp.asarray(
@@ -258,7 +257,7 @@ def test_batched_pool_matches_per_image_interpret():
 
 def test_batched_backward_matches_sum_of_single_interpret():
     from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
-        ROW_TIERS,
+        full_tier_class,
         roi_patch_backward,
     )
 
@@ -268,7 +267,7 @@ def test_batched_backward_matches_sum_of_single_interpret():
     g = jnp.asarray(rng.standard_normal((B, n, s, s, c)).astype(np.float32))
     wy = jnp.asarray(rng.uniform(0, 1, (B, n, s, p)).astype(np.float32))
     wx = jnp.asarray(rng.uniform(0, 1, (B, n, s, p)).astype(np.float32))
-    full_cls = len([r for r in ROW_TIERS if r < p])
+    full_cls = full_tier_class(p)
     rows = rng.integers(0, 96 - p, (B, n))
     txs = rng.integers(0, (64 - p) // 8 + 1, (B, n)) * 8
     starts = jnp.asarray(
@@ -282,3 +281,44 @@ def test_batched_backward_matches_sum_of_single_interpret():
         np.testing.assert_allclose(
             np.asarray(got[b]), want, atol=1e-3, rtol=1e-4
         )
+
+
+def test_backward_with_narrowed_plan_classes_interpret():
+    """Backward with REAL plan_rois window classes (narrow row/col tiers):
+    every nonzero hat weight must fall inside the narrowed RMW window, so
+    the kernel's tiered accumulation equals the full-patch manual scatter."""
+    from detectron2_tensorflow_tpu.models.poolers import plan_pooling
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
+        roi_patch_backward,
+        tier_combos,
+    )
+
+    rng = np.random.default_rng(11)
+    feats = [
+        jnp.asarray(rng.standard_normal((64 // 2**i, 96 // 2**i, 128)).astype(np.float32))
+        for i in range(4)
+    ]
+    strides = [4, 8, 16, 32]
+    jb = jnp.asarray(_boxes(rng, n=24))
+    storage, starts, wy, wx = plan_pooling(
+        feats, jb, strides, 7, 2, 224, 4, 32, True
+    )
+    p = 32
+    # the box set must actually exercise narrow tiers, not only full patch
+    classes = set(np.asarray(starts)[:, 2].tolist())
+    assert any(c != len(tier_combos(p)) - 1 for c in classes), classes
+    # weights must be contained in the assigned window
+    combos = tier_combos(p)
+    swy, swx = np.asarray(wy), np.asarray(wx)
+    for i, cl in enumerate(np.asarray(starts)[:, 2]):
+        r, ct = combos[int(cl)]
+        assert not np.abs(swy[i, :, r:]).any(), (i, cl, "row overflow")
+        assert not np.abs(swx[i, :, ct:]).any(), (i, cl, "col overflow")
+    g = jnp.asarray(
+        rng.standard_normal((len(jb), 7, 7, 128)).astype(np.float32)
+    )
+    got = roi_patch_backward(
+        g, starts, wy, wx, out_shape=storage.shape, interpret=True
+    )
+    want = _manual_scatter(storage.shape, starts, g, wy, wx, p)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
