@@ -160,6 +160,12 @@ _C.DATALOADER.NUM_PREFETCH_BATCHES = 2
 # library builds and the dataset is all-JPEG. Decoder output differs from
 # cv2 by <= 1 pixel LSB.
 _C.DATALOADER.NATIVE_EVAL_IO = True
+# TPU addition: fused C++ training input path (per-image random-scale decode
+# + resize + flip in one batched GIL-free call; mini-mask targets computed
+# without materializing resized full masks). Auto-falls-back to the python
+# pipeline when an unsupported augmentation is enabled — see
+# data/loader.native_train_loader_usable.
+_C.DATALOADER.NATIVE_TRAIN_IO = True
 _C.DATALOADER.LOAD_SEMANTIC_MASKS = False
 
 # ----------------------------------------------------------------------------

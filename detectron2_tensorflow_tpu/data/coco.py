@@ -143,12 +143,29 @@ class CocoDataset:
     def image_id(self, idx: int) -> int:
         return int(self.images[idx][0]["id"])
 
-    def __getitem__(self, idx: int) -> Dict:
-        img_info, anns = self.images[idx]
-        path = os.path.join(self.image_root, img_info["file_name"])
-        image = load_image_rgb(path)
-        h, w = image.shape[:2]
+    def sample_gt(self, idx: int) -> Dict:
+        """Ground truth only — no image decode (native-train-IO fast path).
 
+        Same fields as ``__getitem__`` minus ``image``, plus
+        ``original_size``; masks stay uint8 (the native mini-mask kernel
+        consumes them directly). Image dims come from the COCO JSON
+        (standard ``height``/``width`` fields), falling back to a JPEG
+        header parse.
+        """
+        img_info, _ = self.images[idx]
+        if "height" in img_info and "width" in img_info:
+            h, w = int(img_info["height"]), int(img_info["width"])
+        else:
+            from . import native_io
+
+            with open(self.image_path(idx), "rb") as f:
+                h, w = native_io.jpeg_info(f.read())
+        sample = self._build_gt(idx, h, w, mask_dtype=np.uint8)
+        sample["original_size"] = (h, w)
+        return sample
+
+    def _build_gt(self, idx: int, h: int, w: int, mask_dtype=np.float32) -> Dict:
+        img_info, anns = self.images[idx]
         boxes, classes, is_crowd, masks, keypoints = [], [], [], [], []
         areas = []
         for a in anns:
@@ -173,7 +190,6 @@ class CocoDataset:
                     else np.zeros((h, w), np.uint8)
                 )
         sample = {
-            "image": image,
             "image_id": img_info["id"],
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "classes": np.asarray(classes, np.int32),
@@ -182,9 +198,9 @@ class CocoDataset:
         }
         if self.load_masks:
             sample["masks"] = (
-                np.stack(masks).astype(np.float32)
+                np.stack(masks).astype(mask_dtype)
                 if masks
-                else np.zeros((0, h, w), np.float32)
+                else np.zeros((0, h, w), mask_dtype)
             )
         if keypoints and len(keypoints) == len(boxes):
             sample["keypoints"] = np.stack(keypoints)
@@ -195,4 +211,13 @@ class CocoDataset:
             )
             sample["proposals"] = pb
             sample["proposal_scores"] = ps
+        return sample
+
+    def __getitem__(self, idx: int) -> Dict:
+        img_info, _ = self.images[idx]
+        path = os.path.join(self.image_root, img_info["file_name"])
+        image = load_image_rgb(path)
+        h, w = image.shape[:2]
+        sample = self._build_gt(idx, h, w)
+        sample["image"] = image
         return sample

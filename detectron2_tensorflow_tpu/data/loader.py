@@ -34,13 +34,24 @@ def pick_bucket(h: int, w: int, buckets: Sequence[tuple]) -> tuple:
     return max(buckets, key=lambda b: b[0] * b[1])
 
 
-def pad_sample_to_batch_arrays(sample: Dict, bucket, max_gt: int, mini_mask: int) -> Dict:
-    """One transformed sample -> fixed-shape numpy arrays."""
+def pad_sample_to_batch_arrays(
+    sample: Dict, bucket, max_gt: int, mini_mask: int, resized_hw=None
+) -> Dict:
+    """One transformed sample -> fixed-shape numpy arrays.
+
+    With ``resized_hw`` the sample carries no ``image`` (native-IO path —
+    the pixels arrive later from one fused C++ batch call) and only the GT
+    fields are padded; ``image_size`` comes from ``resized_hw``.
+    """
     bh, bw = bucket
-    img = sample["image"]
-    h, w = img.shape[:2]
-    image = np.zeros((bh, bw, 3), np.float32)
-    image[:h, :w] = img
+    if resized_hw is None:
+        img = sample["image"]
+        h, w = img.shape[:2]
+        image = np.zeros((bh, bw, 3), np.float32)
+        image[:h, :w] = img
+    else:
+        h, w = resized_hw
+        image = None
 
     n = len(sample["boxes"])
     keep = min(n, max_gt)
@@ -54,7 +65,6 @@ def pad_sample_to_batch_arrays(sample: Dict, bucket, max_gt: int, mini_mask: int
     gt_is_crowd[:keep] = sample["is_crowd"][:keep]
 
     out = {
-        "image": image,
         "image_size": np.array([h, w], np.int32),
         "original_size": np.asarray(sample.get("original_size", (h, w)), np.int32),
         "image_id": np.asarray(sample.get("image_id", 0), np.int64),
@@ -63,6 +73,8 @@ def pad_sample_to_batch_arrays(sample: Dict, bucket, max_gt: int, mini_mask: int
         "gt_valid": gt_valid,
         "gt_is_crowd": gt_is_crowd,
     }
+    if image is not None:
+        out["image"] = image
     if sample.get("masks") is not None:
         gt_masks = np.zeros((max_gt, mini_mask, mini_mask), np.float32)
         gt_masks[:keep] = sample["masks"][:keep]
@@ -175,6 +187,151 @@ def build_native_eval_loader(
             yield emit(bucket, pools.pop(bucket), batch_size)
     for bucket, idxs in pools.items():
         yield emit(bucket, idxs, batch_size)
+
+
+def native_train_loader_usable(cfg, dataset) -> bool:
+    """The fused C++ train path can serve iff the library builds, the
+    dataset exposes GT-only access over all-JPEG files, and the active
+    augmentations reduce to {horizontal flip, shortest-edge resize} with
+    mini-mask targets (the COCO defaults). Anything else falls back to the
+    python pipeline."""
+    a = cfg.AUGMENT
+    if any([
+        a.CROP.ENABLED, a.VERTICAL_FLIP, a.ROTATE,
+        a.PIXEL_VALUE_SCALE.ENABLED, a.ADJUST_BRIGHTNESS.ENABLED,
+        a.ADJUST_CONSTRACT.ENABLED, a.ADJUST_HUE.ENABLED,
+        a.ADJUST_SATURATION.ENABLED, a.DISTORT_COLOR.ENABLED,
+        a.JITTER_BOX.ENABLED,
+    ]):
+        return False
+    if cfg.MODEL.LOAD_PROPOSALS or cfg.DATALOADER.LOAD_SEMANTIC_MASKS:
+        return False
+    if not cfg.TRANSFORM.RESIZE.USE_MINI_MASKS:
+        return False
+    if not (
+        native_io.available()
+        and hasattr(dataset, "sample_gt")
+        and hasattr(dataset, "image_path")
+    ):
+        return False
+    return all(
+        dataset.image_path(i).lower().endswith((".jpg", ".jpeg"))
+        for i in range(len(dataset))
+    )
+
+
+def build_native_train_loader(
+    cfg,
+    dataset,
+    batch_size: Optional[int] = None,
+    seed: int = 0,
+    num_prefetch: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Training batches with the pixel work in C++ (native/imageio.cpp).
+
+    Per sample, the reader pool builds GT only (no decode): polygons
+    rasterize at original size, then ONE fused native call produces the
+    mini-mask targets without ever materializing per-instance resized masks
+    (the python path's dominant host op). Per batch, ONE GIL-free native
+    call decodes + per-image-shortest-edge-resizes + flips + pads every
+    JPEG across all host cores. Augmentation semantics match
+    transforms.run for the supported set (see native_train_loader_usable);
+    batches carry exactly the fields build_dataloader(training=True) emits.
+    """
+    batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
+    buckets = [tuple(b) for b in cfg.INPUT.PAD_BUCKETS]
+    max_gt = cfg.INPUT.MAX_GT_INSTANCES
+    mini = cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE
+    max_size = cfg.TRANSFORM.RESIZE.MAX_SIZE_TRAIN
+    rng = np.random.default_rng(seed)
+    num_readers = max(1, cfg.DATALOADER.NUM_READERS)
+
+    def index_stream():
+        while True:
+            order = np.arange(len(dataset))
+            if cfg.DATALOADER.SHUFFLE:
+                rng.shuffle(order)
+            yield from (int(i) for i in order)
+
+    def load_one(args):
+        i, seed_i = args
+        gt = dataset.sample_gt(i)
+        gt, min_size, flip, resized_hw = transforms.run_gt_native(
+            cfg, gt, np.random.default_rng(seed_i)
+        )
+        arrays = pad_sample_to_batch_arrays(
+            gt, (0, 0), max_gt, mini, resized_hw=resized_hw
+        )
+        return arrays, dataset.image_path(i), min_size, flip, resized_hw
+
+    def sample_stream():
+        import collections
+        import concurrent.futures as cf
+
+        seeds = np.random.default_rng(seed).integers(0, 2**31, size=1 << 20)
+        tagged = (
+            (i, int(seeds[k % len(seeds)]))
+            for k, i in enumerate(index_stream())
+        )
+        if num_readers == 1:
+            for args in tagged:
+                yield load_one(args)
+            return
+        with cf.ThreadPoolExecutor(num_readers) as pool:
+            inflight = collections.deque()
+            for args in tagged:
+                inflight.append(pool.submit(load_one, args))
+                if len(inflight) >= 2 * num_readers:
+                    yield inflight.popleft().result()
+
+    def emit(batch):
+        arrays, paths, min_sizes, flips, _ = zip(*batch)
+        datas = [open(p, "rb").read() for p in paths]
+        bucket = pick_bucket(
+            max(a["image_size"][0] for a in arrays),
+            max(a["image_size"][1] for a in arrays),
+            buckets,
+        )
+        images, hw = native_io.train_image_batch(
+            datas, list(min_sizes), max_size, list(flips), bucket
+        )
+        out = {k: np.stack([a[k] for a in arrays]) for k in arrays[0]}
+        out["image"] = images
+        # the C++ resize rule must agree with the python-side bucketing
+        assert (hw == np.stack([a["image_size"] for a in arrays])).all()
+        return out
+
+    def batch_stream():
+        pools: Dict[tuple, List] = {}
+        for s in sample_stream():
+            nh, nw = s[4]
+            bucket = pick_bucket(nh, nw, buckets)
+            pools.setdefault(bucket, []).append(s)
+            if len(pools[bucket]) == batch_size:
+                yield emit(pools.pop(bucket))
+
+    n_prefetch = (
+        num_prefetch
+        if num_prefetch is not None
+        else max(1, cfg.DATALOADER.NUM_PREFETCH_BATCHES)
+    )
+    q: queue.Queue = queue.Queue(maxsize=n_prefetch)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for b in batch_stream():
+                q.put(b)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item
 
 
 def build_dataloader(

@@ -66,6 +66,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             _u8p, _longp, _longp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _f32p, ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int,
         ]
+        lib.imgio_train_image_batch.restype = ctypes.c_int
+        lib.imgio_train_image_batch.argtypes = [
+            _u8p, _longp, _longp, ctypes.c_int, _i32p, ctypes.c_int, _u8p,
+            _f32p, ctypes.c_int, ctypes.c_int, _i32p, _i32p, ctypes.c_int,
+        ]
+        lib.imgio_mini_masks.restype = ctypes.c_int
+        lib.imgio_mini_masks.argtypes = [
+            _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, _f32p, _f32p, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _LIB = lib
     except Exception as e:  # noqa: BLE001 — fall back to cv2
         logger.warning("native imageio unavailable (%s); using cv2", e)
@@ -185,3 +196,83 @@ def decode_resize_pad_batch(
     if rc != 0:
         raise ValueError(f"JPEG decode failed in batch (rcs={rcs.tolist()})")
     return out, hw
+
+
+def train_image_batch(
+    datas, min_sizes, max_size: int, flips, bucket: Tuple[int, int],
+    threads: int = 0,
+):
+    """Training image batch: decode + PER-IMAGE shortest-edge resize +
+    optional horizontal flip + pad, one GIL-free call (C++ thread pool).
+
+    ``min_sizes``/``flips`` are per-image (the train pipeline draws a random
+    MIN_SIZE_TRAIN choice and a flip coin per sample). Returns
+    (batch [N, bh, bw, 3] float32, sizes [N, 2] int32 resized (h, w)).
+    """
+    import os as _os
+
+    lib = _build_and_load()
+    assert lib is not None, "native imageio not available"
+    n = len(datas)
+    bh, bw = bucket
+    blob = b"".join(datas)
+    offsets = (ctypes.c_long * n)()
+    lens = (ctypes.c_long * n)()
+    off = 0
+    for i, d in enumerate(datas):
+        offsets[i] = off
+        lens[i] = len(d)
+        off += len(d)
+    ms = np.ascontiguousarray(min_sizes, np.int32)
+    fl = np.ascontiguousarray(flips, np.uint8)
+    out = np.zeros((n, bh, bw, 3), np.float32)
+    hw = np.zeros((n, 2), np.int32)
+    rcs = np.zeros((n,), np.int32)
+    if threads <= 0:
+        threads = min(n, _os.cpu_count() or 1)
+    rc = lib.imgio_train_image_batch(
+        _as_u8(blob), offsets, lens, n, ms.ctypes.data_as(_i32p), max_size,
+        fl.ctypes.data_as(_u8p), out.ctypes.data_as(_f32p), bh, bw,
+        hw.ctypes.data_as(_i32p), rcs.ctypes.data_as(_i32p), threads,
+    )
+    if rc == -2:
+        raise ValueError(f"a resized image exceeds bucket {bucket}")
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed in batch (rcs={rcs.tolist()})")
+    return out, hw
+
+
+def mini_masks(
+    masks: np.ndarray,
+    resized_hw: Tuple[int, int],
+    flip: bool,
+    boxes: np.ndarray,
+    mini: int,
+    threads: int = 1,
+) -> np.ndarray:
+    """Fused mini-mask targets (see native/imageio.cpp imgio_mini_masks).
+
+    ``masks``: [N, H, W] uint8 full-resolution instance masks;
+    ``resized_hw``: the sample's post-resize (nh, nw); ``boxes``: [N, 4]
+    xyxy in the (flipped) resized frame. Returns [N, mini, mini] float32 —
+    the same values as resize-all-masks + crop + resize
+    (transforms.resize_shortest_edge + make_mini_masks) without ever
+    materializing the resized masks.
+    """
+    lib = _build_and_load()
+    assert lib is not None, "native imageio not available"
+    masks = np.ascontiguousarray(masks, np.uint8)
+    n, h, w = masks.shape
+    nh, nw = resized_hw
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    out = np.zeros((n, mini, mini), np.float32)
+    if n == 0:
+        return out
+    rc = lib.imgio_mini_masks(
+        masks.ctypes.data_as(_u8p), n, h, w, int(nh), int(nw), int(flip),
+        boxes.ctypes.data_as(_f32p), out.ctypes.data_as(_f32p), mini,
+        threads,
+    )
+    if rc != 0:
+        raise ValueError(f"imgio_mini_masks failed ({rc})")
+    return out

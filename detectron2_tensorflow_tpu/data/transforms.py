@@ -397,3 +397,66 @@ def run(cfg, sample: Dict, training: bool, rng: Optional[np.random.Generator] = 
                 (0, r.MINI_MASK_SIZE, r.MINI_MASK_SIZE), np.float32
             )
     return sample, scale
+
+
+def run_gt_native(cfg, sample: Dict, rng: np.random.Generator):
+    """GT-only counterpart of :func:`run` for the native training IO path.
+
+    The image pixels are decoded / resized / flipped by native/imageio.cpp;
+    this applies the SAME geometry to the GT fields. Flip-at-original-size
+    followed by scaling is algebraically identical to
+    ``flip_horizontal`` + ``resize_shortest_edge``:
+    ``(w - x) * nw / w == nw - x * nw / w``.
+
+    Eligibility (checked by data/loader.native_train_supported): the only
+    active augmentations are HORIZONTAL_FLIP and the resize itself, and
+    masks (if any) use mini-mask targets.
+
+    Returns ``(sample, min_size, flip, (nh, nw))`` — the first three feed
+    the native image batch call.
+    """
+    h, w = sample["original_size"]
+    a = cfg.AUGMENT
+    flip = bool(a.HORIZONTAL_FLIP) and rng.uniform() < 0.5
+
+    r = cfg.TRANSFORM.RESIZE
+    min_size = int(rng.choice(list(r.MIN_SIZE_TRAIN)))
+    max_size = r.MAX_SIZE_TRAIN
+    if min_size > 0:
+        scale = min_size / min(h, w)
+        if max(h, w) * scale > max_size:
+            scale = max_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+    else:
+        nh, nw = h, w
+
+    out = dict(sample)
+    sxy = np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
+    if len(sample.get("boxes", ())):
+        b = sample["boxes"].copy()
+        if flip:
+            b[:, [0, 2]] = w - b[:, [2, 0]]
+        out["boxes"] = b * sxy
+    if sample.get("keypoints") is not None and len(sample["keypoints"]):
+        kp = sample["keypoints"].copy()
+        if flip:
+            kp[..., 0] = np.where(kp[..., 2] > 0, w - kp[..., 0], kp[..., 0])
+            if kp.shape[1] == len(COCO_KP_FLIP):
+                kp = kp[:, COCO_KP_FLIP]
+        kp[..., 0] *= nw / w
+        kp[..., 1] *= nh / h
+        out["keypoints"] = kp
+
+    if sample.get("masks") is not None and r.USE_MINI_MASKS:
+        from . import native_io
+
+        if len(sample["masks"]):
+            out["masks"] = native_io.mini_masks(
+                sample["masks"], (nh, nw), flip, out["boxes"],
+                r.MINI_MASK_SIZE,
+            )
+        else:
+            out["masks"] = np.zeros(
+                (0, r.MINI_MASK_SIZE, r.MINI_MASK_SIZE), np.float32
+            )
+    return out, min_size, flip, (nh, nw)

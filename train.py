@@ -48,7 +48,21 @@ def main():
         )
 
     model = build_model(cfg)
-    data_iter = build_dataloader(cfg, dataset, training=True, seed=max(cfg.SEED, 0))
+    from detectron2_tensorflow_tpu.data import (
+        build_native_train_loader,
+        native_train_loader_usable,
+    )
+
+    if cfg.DATALOADER.NATIVE_TRAIN_IO and native_train_loader_usable(
+        cfg, dataset
+    ):
+        data_iter = build_native_train_loader(
+            cfg, dataset, seed=max(cfg.SEED, 0)
+        )
+    else:
+        data_iter = build_dataloader(
+            cfg, dataset, training=True, seed=max(cfg.SEED, 0)
+        )
 
     # Periodic in-training evaluation (TEST.EVAL_PERIOD; reference
     # evaluator.py:80-87 runs it as a separate polling job — here it can also
