@@ -492,6 +492,15 @@ _C.PARALLEL = CN()
 # data-parallel: the model axis exists for very-large-image spatial sharding.
 _C.PARALLEL.DATA_AXIS = -1
 _C.PARALLEL.MODEL_AXIS = 1
+# Multi-host: when COORDINATOR is set (host:port of process 0), every
+# process calls jax.distributed.initialize before touching the backend;
+# the mesh then spans all hosts' devices and each process feeds its local
+# 1/process_count slice of SOLVER.IMS_PER_BATCH (parallel.shard_batch
+# assembles the global batch without cross-host data movement). 0 / -1 =
+# auto-detect from the standard JAX env vars / cloud TPU metadata.
+_C.PARALLEL.COORDINATOR = ""
+_C.PARALLEL.NUM_PROCESSES = 0
+_C.PARALLEL.PROCESS_ID = -1
 
 _C.GLOBAL = CN()
 _C.GLOBAL.HACK = 1.0

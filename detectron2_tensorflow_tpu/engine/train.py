@@ -232,7 +232,9 @@ def train(
     step_fn = build_train_step(cfg, model, state.params, mesh, example_state=state)
 
     metric_logger = None
-    if checkpoint_dir:
+    if checkpoint_dir and jax.process_index() == 0:
+        # Multi-host: only process 0 writes scalar/histogram logs (orbax
+        # checkpoint saves stay collective — every process participates).
         from ..utils.profiling import MetricLogger
 
         metric_logger = MetricLogger(checkpoint_dir)

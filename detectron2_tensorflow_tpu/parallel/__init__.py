@@ -16,11 +16,49 @@ collapses to sharding annotations:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(cfg=None) -> bool:
+    """Connect this process to a multi-host run (jax.distributed).
+
+    Coordinates come from ``PARALLEL.COORDINATOR`` / ``NUM_PROCESSES`` /
+    ``PROCESS_ID`` when set, else the standard JAX env vars
+    (``JAX_COORDINATOR_ADDRESS`` etc. / cloud TPU auto-detection). Returns
+    True iff distributed mode was (or already is) initialized. Call BEFORE
+    any other jax API touches the backend. Single-host runs are a no-op.
+
+    After initialization ``jax.devices()`` is the GLOBAL device list (the
+    mesh spans hosts; XLA routes the data-axis collectives over DCN and
+    the intra-host ones over ICI) while each process feeds only its local
+    shard of the batch — see :func:`shard_batch`.
+    """
+    if jax.process_count() > 1:
+        return True
+    coord = num = pid = None
+    if cfg is not None and getattr(cfg.PARALLEL, "COORDINATOR", ""):
+        coord = cfg.PARALLEL.COORDINATOR
+        num = cfg.PARALLEL.NUM_PROCESSES or None
+        pid = cfg.PARALLEL.PROCESS_ID if cfg.PARALLEL.PROCESS_ID >= 0 else None
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        coord = os.environ["JAX_COORDINATOR_ADDRESS"]
+        num = int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None
+        pid = (
+            int(os.environ["JAX_PROCESS_ID"])
+            if "JAX_PROCESS_ID" in os.environ
+            else None
+        )
+    else:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=num, process_id=pid
+    )
+    return jax.process_count() > 1
 
 
 def create_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> Mesh:
@@ -45,13 +83,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host-side batch pytree onto the mesh, sharded over 'data'."""
+    """Place a host-side batch pytree onto the mesh, sharded over 'data'.
+
+    Multi-host: each process passes its LOCAL batch slice (global_batch /
+    process_count rows); the pieces assemble into one global jax.Array
+    without any cross-host copy of the data itself.
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     r = replicated(mesh)
+    if jax.process_count() > 1:
+        # Multi-host device_put requires identical values on every process
+        # (true for seeded init / restored checkpoints); assemble the global
+        # replicated array from each process's full copy.
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                r, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
 
 
@@ -94,7 +154,15 @@ def state_shardings(mesh: Mesh, tree: Any) -> Any:
 
 
 def shard_state(mesh: Mesh, tree: Any) -> Any:
-    """Place a host-side state pytree onto the mesh per state_shardings."""
+    """Place a host-side state pytree onto the mesh per state_shardings.
+
+    Multi-host supports the data-parallel configuration (model axis 1 —
+    use :func:`replicate`); assembling cross-host model-sharded params
+    from full host copies would need per-shard slicing here first."""
+    assert jax.process_count() == 1 or mesh.shape.get("model", 1) == 1, (
+        "multi-host tensor parallelism: shard_state needs per-shard "
+        "assembly; run multi-host with PARALLEL.MODEL_AXIS=1"
+    )
     return jax.tree.map(
         lambda x: jax.device_put(x, leaf_sharding(mesh, x)), tree
     )

@@ -37,6 +37,13 @@ def main():
     cfg.merge_from_file(args.config_file)
     if args.opts:
         cfg.merge_from_list(args.opts)
+
+    # Multi-host: join the cluster BEFORE any jax call initializes the
+    # backend (finalize() below queries jax.device_count()).
+    from detectron2_tensorflow_tpu.parallel import initialize_multihost
+
+    multihost = initialize_multihost(cfg)
+
     finalize(cfg, training=True)
 
     ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".json")
@@ -53,22 +60,30 @@ def main():
         native_train_loader_usable,
     )
 
+    # Multi-host: each process loads 1/process_count of the global batch
+    # with a disjoint shuffle stream; parallel.shard_batch assembles the
+    # slices into the global array inside the train loop.
+    import jax
+
+    local_batch = cfg.SOLVER.IMS_PER_BATCH // jax.process_count()
+    loader_seed = max(cfg.SEED, 0) + 7919 * jax.process_index()
     if cfg.DATALOADER.NATIVE_TRAIN_IO and native_train_loader_usable(
         cfg, dataset
     ):
         data_iter = build_native_train_loader(
-            cfg, dataset, seed=max(cfg.SEED, 0)
+            cfg, dataset, batch_size=local_batch, seed=loader_seed
         )
     else:
         data_iter = build_dataloader(
-            cfg, dataset, training=True, seed=max(cfg.SEED, 0)
+            cfg, dataset, training=True, batch_size=local_batch,
+            seed=loader_seed,
         )
 
     # Periodic in-training evaluation (TEST.EVAL_PERIOD; reference
     # evaluator.py:80-87 runs it as a separate polling job — here it can also
     # run inline on the training host).
     eval_fn = None
-    if cfg.TEST.EVAL_PERIOD > 0:
+    if cfg.TEST.EVAL_PERIOD > 0 and jax.process_index() == 0:
         import jax.numpy as jnp
 
         from detectron2_tensorflow_tpu.engine.evaluator import run_evaluation
