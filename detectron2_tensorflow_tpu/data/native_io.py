@@ -77,6 +77,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, _f32p, _f32p, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.imgio_crc32c.restype = ctypes.c_uint32
+        lib.imgio_crc32c.argtypes = [_u8p, ctypes.c_long]
         _LIB = lib
     except Exception as e:  # noqa: BLE001 — fall back to cv2
         logger.warning("native imageio unavailable (%s); using cv2", e)
@@ -276,3 +278,10 @@ def mini_masks(
     if rc != 0:
         raise ValueError(f"imgio_mini_masks failed ({rc})")
     return out
+
+
+def crc32c(data: bytes) -> int:
+    """Castagnoli CRC-32 via the native table loop (TFRecord framing)."""
+    lib = _build_and_load()
+    assert lib is not None, "native imageio not available"
+    return int(lib.imgio_crc32c(_as_u8(data), len(data)))

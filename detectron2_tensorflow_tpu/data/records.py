@@ -2,10 +2,12 @@
 
 Parity target: /root/reference/lib/data_tools/ (builder.py:5-11,
 build_coco_det.py:16-133, tfrecord_creation_utils.py:4-24). The storage
-format stays TFRecord/tf.Example (interoperable with the reference's
-datasets); reading decodes straight to the numpy sample dicts consumed by
-data/transforms.py — tensorflow is used only for IO, never on the compute
-path.
+format stays TFRecord/tf.Example (byte-interoperable with the reference's
+datasets — pinned by TF cross-read tests), but both directions run through
+the SELF-CONTAINED codec in data/tfrecord_codec.py: no TensorFlow anywhere
+in this framework. Reading is lazy (offset index per shard, payloads
+fetched + CRC-checked on demand) instead of materializing every record in
+memory.
 """
 
 from __future__ import annotations
@@ -18,30 +20,23 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 
-def _tf():
-    import tensorflow as tf
-
-    return tf
+from . import tfrecord_codec as codec
 
 
 def _bytes(v):
-    tf = _tf()
-    return tf.train.Feature(bytes_list=tf.train.BytesList(value=[v]))
+    return codec.bytes_feature([v])
 
 
 def _bytes_list(v):
-    tf = _tf()
-    return tf.train.Feature(bytes_list=tf.train.BytesList(value=v))
+    return codec.bytes_feature(v)
 
 
 def _floats(v):
-    tf = _tf()
-    return tf.train.Feature(float_list=tf.train.FloatList(value=list(v)))
+    return codec.float_feature(v)
 
 
 def _ints(v):
-    tf = _tf()
-    return tf.train.Feature(int64_list=tf.train.Int64List(value=list(v)))
+    return codec.int64_feature(v)
 
 
 def _png_encode(mask: np.ndarray) -> bytes:
@@ -60,12 +55,11 @@ def _png_rgb_encode(rgb: np.ndarray) -> bytes:
     return buf.tobytes()
 
 
-def create_example(sample: Dict, image_bytes: bytes):
-    """Sample dict (+ pre-encoded image) -> tf.train.Example.
+def create_example(sample: Dict, image_bytes: bytes) -> bytes:
+    """Sample dict (+ pre-encoded image) -> serialized tf.train.Example.
 
     Field names follow the reference TfExampleFields vocabulary.
     """
-    tf = _tf()
     boxes = np.asarray(sample["boxes"], np.float32).reshape(-1, 4)
     h, w = sample["height"], sample["width"]
     feature = {
@@ -97,7 +91,7 @@ def create_example(sample: Dict, image_bytes: bytes):
         sem = np.asarray(sample["sem_seg"], np.int64)
         sem = np.where(sem < 0, 256**3 - 1, sem)
         feature["image/sem_seg"] = _bytes(_png_rgb_encode(id_to_rgb(sem)))
-    return tf.train.Example(features=tf.train.Features(feature=feature))
+    return codec.encode_example(feature)
 
 
 def build_records(
@@ -110,14 +104,13 @@ def build_records(
     ``output_pattern``: e.g. "out/train.record"; shards get -00000-of-00016
     suffixes (the reference's sharding convention).
     """
-    tf = _tf()
     import cv2
 
     paths = [
         f"{output_pattern}-{i:05d}-of-{num_shards:05d}" for i in range(num_shards)
     ]
     os.makedirs(os.path.dirname(output_pattern) or ".", exist_ok=True)
-    writers = [tf.io.TFRecordWriter(p) for p in paths]
+    writers = [open(p, "wb") for p in paths]
     try:
         for idx in range(len(dataset)):
             s = dataset[idx]
@@ -140,7 +133,7 @@ def build_records(
                 },
                 buf.tobytes(),
             )
-            writers[idx % num_shards].write(ex.SerializeToString())
+            codec.write_record(writers[idx % num_shards], ex)
     finally:
         for w in writers:
             w.close()
@@ -150,77 +143,90 @@ def build_records(
 class TFRecordDataset:
     """Indexable view over sharded TFRecords producing numpy sample dicts.
 
-    Records are indexed once at construction (offsets per shard) so the
-    loader's shuffle-by-index works the same as with CocoDataset.
+    Shards are INDEXED at construction (payload offsets only — no record
+    bytes are held in memory); __getitem__ seeks, CRC-checks and decodes
+    one example on demand, so the loader's shuffle-by-index works the same
+    as with CocoDataset at any dataset size.
     """
 
     def __init__(self, file_pattern: str, load_masks: bool = True):
-        tf = _tf()
         import glob as _glob
 
         self.files = sorted(_glob.glob(file_pattern))
         assert self.files, f"no records match {file_pattern}"
         self.load_masks = load_masks
-        self._records: List[bytes] = []
-        for f in self.files:
-            for rec in tf.data.TFRecordDataset(f).as_numpy_iterator():
-                self._records.append(rec)
+        self._index: List[tuple] = []  # (file_idx, offset, length)
+        for fi, f in enumerate(self.files):
+            for off, length in codec.index_records(f):
+                self._index.append((fi, off, length))
 
     def __len__(self) -> int:
-        return len(self._records)
+        return len(self._index)
+
+    def _feature(self, f, name, kind, default):
+        if name not in f:
+            return default
+        k, v = f[name]
+        assert k == kind, (name, k, kind)
+        return v
 
     def __getitem__(self, idx: int) -> Dict:
-        tf = _tf()
         import cv2
 
-        ex = tf.train.Example()
-        ex.ParseFromString(self._records[idx])
-        f = ex.features.feature
+        fi, off, length = self._index[idx]
+        payload = codec.read_record_at(
+            self.files[fi], off, length, verify=True
+        )
+        f = codec.decode_example(payload)
 
         img = cv2.imdecode(
-            np.frombuffer(f["image/encoded"].bytes_list.value[0], np.uint8),
+            np.frombuffer(self._feature(f, "image/encoded", "bytes", [b""])[0],
+                          np.uint8),
             cv2.IMREAD_COLOR,
         )
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         h, w = img.shape[:2]
-        xmin = np.asarray(f["image/object/bbox/xmin"].float_list.value) * w
-        ymin = np.asarray(f["image/object/bbox/ymin"].float_list.value) * h
-        xmax = np.asarray(f["image/object/bbox/xmax"].float_list.value) * w
-        ymax = np.asarray(f["image/object/bbox/ymax"].float_list.value) * h
+        empty_f = np.zeros(0, np.float32)
+        xmin = self._feature(f, "image/object/bbox/xmin", "float", empty_f) * w
+        ymin = self._feature(f, "image/object/bbox/ymin", "float", empty_f) * h
+        xmax = self._feature(f, "image/object/bbox/xmax", "float", empty_f) * w
+        ymax = self._feature(f, "image/object/bbox/ymax", "float", empty_f) * h
         boxes = np.stack([xmin, ymin, xmax, ymax], axis=1).astype(np.float32) \
             if len(xmin) else np.zeros((0, 4), np.float32)
+        empty_i = np.zeros(0, np.int64)
         sample = {
             "image": img,
-            "image_id": int(f["image/source_id"].bytes_list.value[0]),
+            "image_id": int(
+                self._feature(f, "image/source_id", "bytes", [b"0"])[0]
+            ),
             "boxes": boxes,
             "classes": np.asarray(
-                f["image/object/class/label"].int64_list.value, np.int32
+                self._feature(f, "image/object/class/label", "int64", empty_i),
+                np.int32,
             ),
             "is_crowd": np.asarray(
-                f["image/object/is_crowd"].int64_list.value, bool
+                self._feature(f, "image/object/is_crowd", "int64", empty_i),
+                bool,
             ),
         }
-        if len(f["image/object/area"].float_list.value):
-            sample["areas"] = np.asarray(
-                f["image/object/area"].float_list.value, np.float32
-            )
+        areas = self._feature(f, "image/object/area", "float", empty_f)
+        if len(areas):
+            sample["areas"] = np.asarray(areas, np.float32)
         if self.load_masks:
             masks = [
                 cv2.imdecode(np.frombuffer(m, np.uint8), cv2.IMREAD_GRAYSCALE)
-                for m in f["image/object/mask"].bytes_list.value
+                for m in self._feature(f, "image/object/mask", "bytes", [])
             ]
             sample["masks"] = (
                 np.stack(masks).astype(np.float32)
                 if masks
                 else np.zeros((0, h, w), np.float32)
             )
-        if len(f["image/sem_seg"].bytes_list.value):
+        sem = self._feature(f, "image/sem_seg", "bytes", [])
+        if len(sem):
             from .panoptic import rgb_to_id
 
-            rgb = cv2.imdecode(
-                np.frombuffer(f["image/sem_seg"].bytes_list.value[0], np.uint8),
-                cv2.IMREAD_COLOR,
-            )
+            rgb = cv2.imdecode(np.frombuffer(sem[0], np.uint8), cv2.IMREAD_COLOR)
             ids = rgb_to_id(cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB))
             sample["sem_seg"] = np.where(
                 ids == 256**3 - 1, -1, ids
