@@ -27,12 +27,9 @@ BATCH_LADDER = (48, 32, 16)
 RECOVERY_SECONDS = 210
 
 
-def measure(batch_size: int):
-    import jax
-    import jax.numpy as jnp
-
+def bench_cfg():
+    """The benchmark model config (shared with tools/profile_infer.py)."""
     from detectron2_tensorflow_tpu.config import get_cfg
-    from detectron2_tensorflow_tpu.models import build_model
 
     cfg = get_cfg()
     cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
@@ -53,8 +50,16 @@ def measure(batch_size: int):
     cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
     cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
     cfg.TEST.DETECTIONS_PER_IMAGE = 100
+    return cfg
 
-    model = build_model(cfg)
+
+def measure(batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tensorflow_tpu.models import build_model
+
+    model = build_model(bench_cfg())
 
     h, w = 800, 1344  # COCO shortest-side-800 landscape bucket
     batch = {

@@ -21,10 +21,9 @@ import numpy as np
 V100_TRAIN_IMG_S = 7.7  # per-GPU, D2 model zoo 1x schedule
 
 
-def main(batch_size: int = 8, remat: bool = False):
+def train_cfg(batch_size: int = 8, remat: bool = False):
+    """The training benchmark config (shared with tools/profile_infer.py)."""
     from detectron2_tensorflow_tpu.config import get_cfg
-    from detectron2_tensorflow_tpu.engine import build_train_step, create_train_state
-    from detectron2_tensorflow_tpu.models import build_model
 
     cfg = get_cfg()
     cfg.MODEL.MASK_ON = True
@@ -45,12 +44,15 @@ def main(batch_size: int = 8, remat: bool = False):
     cfg.SOLVER.AUTO_SCALE_LR_SCHEDULE = False
     cfg.INPUT.MAX_GT_INSTANCES = 64
     cfg.MODEL.RESNETS.REMAT = remat
+    return cfg
 
-    model = build_model(cfg)
+
+def make_train_batch(cfg):
+    """A synthetic COCO-shaped training batch for the benchmark config."""
     b = cfg.SOLVER.IMS_PER_BATCH
     h, w = 800, 1344
     rng = np.random.default_rng(0)
-    g = 64
+    g = cfg.INPUT.MAX_GT_INSTANCES
     boxes = np.zeros((b, g, 4), np.float32)
     boxes[..., :2] = rng.uniform(0, 600, (b, g, 2))
     boxes[..., 2:] = boxes[..., :2] + rng.uniform(20, 200, (b, g, 2))
@@ -65,6 +67,17 @@ def main(batch_size: int = 8, remat: bool = False):
             rng.uniform(0, 1, (b, g, 56, 56)).astype(np.float32)
         ),
     }
+    return batch
+
+
+def main(batch_size: int = 8, remat: bool = False):
+    from detectron2_tensorflow_tpu.engine import build_train_step, create_train_state
+    from detectron2_tensorflow_tpu.models import build_model
+
+    cfg = train_cfg(batch_size, remat)
+    model = build_model(cfg)
+    b = cfg.SOLVER.IMS_PER_BATCH
+    batch = make_train_batch(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
     step = build_train_step(cfg, model, state.params)
 
