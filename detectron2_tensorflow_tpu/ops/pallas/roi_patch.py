@@ -65,77 +65,142 @@ def full_tier_class(p):
     return len(tier_combos(p)) - 1
 
 
-def _make_kernel(precision):
-    def kernel(starts_ref, stacked_ref, wy_ref, wx_ref, out_ref, patch_ref, sem_ref):
+FWD_GROUP = 4  # ROIs interpolated per forward grid step
+# Measured on v5e at the production box-pooler shape (B=32, N=1000, P=32,
+# C=256, S=7): the forward kernel is bound by a ~0.7 us/ROI DMA ISSUE cost —
+# per-ROI time is insensitive to window bytes (min tier == full tier), to
+# group size (1/2/4/8 identical), and to matmul shape (block-diagonal
+# batching of the group's dots, below, is neutral: the MXU work hides
+# entirely behind the DMA issues). Narrow tiers still pay off in the
+# backward, whose read-modify-write traffic is 2 DMAs/ROI on f32 planes.
+FWD_BLOCKDIAG = False  # neutral on v5e (see above); kept for experiments
+
+
+def _make_kernel(group, precision):
+    def kernel(starts_ref, stacked_ref, wy_ref, wx_ref, out_ref, patch_ref,
+               bd_ref, sem_ref):
+        """Forward: GROUP ROIs per grid step, double-buffered across steps.
+
+        One ROI per step leaves the kernel dominated by per-step sequencing
+        overhead (~1 us/step on v5e; the matmuls and the tiered DMA are each
+        a fraction of that), so each step interpolates GROUP ROIs: the whole
+        NEXT group's patch reads are issued back-to-back into the other
+        buffer slot while this group computes, and each member's two MXU
+        matmuls run as soon as its own read lands.
+        """
         b = pl.program_id(0)
-        i = pl.program_id(1)
-        n = pl.num_programs(1)
-        p = patch_ref.shape[1]
+        j = pl.program_id(1)
+        nq = pl.num_programs(1)
+        p = patch_ref.shape[2]
+        c = patch_ref.shape[4]
+        s = wy_ref.shape[2]
         combos = tier_combos(p)
 
-        def dma_for(idx, slot, rows, cols):
+        def dma_for(jg, k, slot, rows, cols):
+            idx = jg * group + k
             row = starts_ref[0, b, idx]
             tx = pl.multiple_of(starts_ref[1, b, idx], 8)
             return pltpu.make_async_copy(
                 stacked_ref.at[b, pl.ds(row, rows), pl.ds(tx, cols), :],
-                patch_ref.at[slot, pl.ds(0, rows), pl.ds(0, cols)],
-                sem_ref.at[slot],
+                patch_ref.at[slot, k, pl.ds(0, rows), pl.ds(0, cols)],
+                sem_ref.at[slot, k],
             )
 
-        def tiered(idx, op):
+        def tiered(jg, k, op):
             # The DMA is narrowed to the ROI's weight-bearing (row, col)
             # window tier (starts[:, 2]); start and wait branch identically
             # so the awaited byte count matches the issued copy.
-            cls = starts_ref[2, b, idx]
-            for k, (r, ct) in enumerate(combos):
-                @pl.when(cls == k)
+            cls = starts_ref[2, b, jg * group + k]
+            for t, (r, ct) in enumerate(combos):
+                @pl.when(cls == t)
                 def _(r=r, ct=ct):
-                    op(dma_for(idx, jax.lax.rem(idx, 2), r, ct))
+                    op(r, ct)
 
-        @pl.when((b == 0) & (i == 0))
+        @pl.when((b == 0) & (j == 0))
         def _():
             # Rows/cols beyond a narrowed DMA stay stale in VMEM; their hat
             # weights are exactly zero, but uninitialized VMEM could hold
             # NaN bit patterns (NaN * 0 = NaN) — zero both slots once.
             patch_ref[...] = jnp.zeros_like(patch_ref)
 
-        @pl.when(i == 0)
+        @pl.when(j == 0)
         def _():
-            # First ROI of each image: nothing prefetched it.
-            tiered(0, lambda cp: cp.start())
+            # First group of each image: nothing prefetched it.
+            for k in range(group):
+                tiered(0, k, lambda r, ct, k=k: dma_for(0, k, 0, r, ct).start())
 
-        @pl.when(i + 1 < n)
+        @pl.when(j + 1 < nq)
         def _():
-            tiered(i + 1, lambda cp: cp.start())
+            for k in range(group):
+                tiered(
+                    j + 1, k,
+                    lambda r, ct, k=k: dma_for(
+                        j + 1, k, jax.lax.rem(j + 1, 2), r, ct
+                    ).start(),
+                )
 
-        tiered(i, lambda cp: cp.wait())
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(j, 2)
+        for k in range(group):
+            tiered(j, k, lambda r, ct, k=k: dma_for(j, k, slot, r, ct).wait())
 
-        p = patch_ref.shape[1]
-        c = patch_ref.shape[3]
-        s = wy_ref.shape[2]
-        patch = patch_ref[slot]  # [P, P, C]
-        wy = wy_ref[0, 0]  # [S, P]
-        wx = wx_ref[0, 0]  # [S, P]
+        if group > 1 and FWD_BLOCKDIAG:
+            # Per-member dots ([S, P] @ [P, P*C], K = P = 32) run the MXU at
+            # a few percent utilization — the 128-deep systolic K axis is
+            # mostly padding. Batch the group through ONE matmul with a
+            # block-diagonal LHS: [G*S, G*P] @ [G*P, P*C]. The off-diagonal
+            # zeros are wasted FLOPs but ride the same MXU passes the
+            # padding wasted anyway. The diagonal blocks sit at the same
+            # offsets every step, so the scratch is zeroed once and only the
+            # blocks are rewritten per step.
+            @pl.when((b == 0) & (j == 0))
+            def _():
+                bd_ref[...] = jnp.zeros_like(bd_ref)
 
-        # a[o, q, c] = sum_p wy[o, p] * patch[p, q, c]
-        a = jax.lax.dot_general(
-            wy.astype(patch.dtype),
-            patch.reshape(p, p * c),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(s, p, c)
-        # out[o, u, c] = sum_q wx[u, q] * a[o, q, c] — contract q, batch o.
-        out = jax.lax.dot_general(
-            wx.astype(jnp.float32),
-            a,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [S(u), S(o), C]
-        out = jnp.swapaxes(out, 0, 1)  # [o, u, C]
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+            for k in range(group):
+                bd_ref[k * s:(k + 1) * s, k * p:(k + 1) * p] = (
+                    wy_ref[0, k].astype(bd_ref.dtype)
+                )
+            patches = patch_ref[slot].reshape(group * p, p * c)
+            a_all = jax.lax.dot_general(
+                bd_ref[...],
+                patches,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [G*S, P*C]
+            for k in range(group):
+                a = a_all[k * s:(k + 1) * s].reshape(s, p, c)
+                out = jax.lax.dot_general(
+                    wx_ref[0, k].astype(jnp.float32),
+                    a,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )  # [S(u), S(o), C]
+                out_ref[0, k] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+        else:
+            for k in range(group):
+                patch = patch_ref[slot, k]  # [P, P, C]
+                wy = wy_ref[0, k]  # [S, P]
+                wx = wx_ref[0, k]  # [S, P]
+
+                # a[o, q, c] = sum_p wy[o, p] * patch[p, q, c]
+                a = jax.lax.dot_general(
+                    wy.astype(patch.dtype),
+                    patch.reshape(p, p * c),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ).reshape(s, p, c)
+                # out[o, u, c] = sum_q wx[u, q] * a[o, q, c] — contract q.
+                out = jax.lax.dot_general(
+                    wx.astype(jnp.float32),
+                    a,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )  # [S(u), S(o), C]
+                out_ref[0, k] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
 
     return kernel
 
@@ -411,39 +476,63 @@ def roi_patch_interpolate(
         stacked, starts, wy, wx = (x[None] for x in (stacked, starts, wy, wx))
     bsz, n, s, p = wy.shape
     c = stacked.shape[-1]
+    group = FWD_GROUP
+    m = -(-n // group) * group
+    if m != n:
+        # Pad with dummy ROIs aimed at the plane's trailing zero rows
+        # (smallest window tier); their outputs are sliced off below.
+        pad = m - n
+        starts = jnp.concatenate(
+            [
+                starts,
+                jnp.tile(
+                    jnp.array(
+                        [[[stacked.shape[1] - p, 0, 0]]], jnp.int32
+                    ),
+                    (bsz, pad, 1),
+                ),
+            ],
+            axis=1,
+        )
+        wy = jnp.concatenate([wy, jnp.zeros((bsz, pad, s, p), wy.dtype)], 1)
+        wx = jnp.concatenate([wx, jnp.zeros((bsz, pad, s, p), wx.dtype)], 1)
     # SMEM layout: per-ROI axis last (see roi_patch_backward).
-    starts_t = jnp.moveaxis(starts, 2, 0)  # [3, B, N]
+    starts_t = jnp.moveaxis(starts, 2, 0)  # [3, B, M]
     # HIGHEST (six-pass) inside Mosaic hangs compilation at these shapes;
     # float32 callers route to the XLA path instead (models/poolers.py), so
     # this kernel always runs native MXU precision.
     precision = jax.lax.Precision.DEFAULT
+    q = m // group
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bsz, n),
+        grid=(bsz, q),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stacked stays in HBM
-            pl.BlockSpec((1, 1, s, p), lambda b, i, *_: (b, i, 0, 0)),
-            pl.BlockSpec((1, 1, s, p), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
+            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, s, s, c), lambda b, i, *_: (b, i, 0, 0, 0)
+            (1, group, s, s, c), lambda b, j, *_: (b, j, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, p, p, c), stacked.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, group, p, p, c), stacked.dtype),
+            pltpu.VMEM((group * s, group * p), stacked.dtype),  # block-diag wy
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(precision),
+        _make_kernel(group, precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, n, s, s, c), stacked.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, m, s, s, c), stacked.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
-                1.2 * (2 * p * p * c + 2 * s * p + s * s * c)
+                1.2 * (2 * group * p * p * c + 2 * group * s * p
+                       + group * s * s * c)
                 * stacked.dtype.itemsize
                 + 2 * 1024 * 1024
             ),
         ),
         interpret=interpret,
     )(starts_t, stacked, wy, wx)
+    out = out[:, :n]
     return out[0] if squeeze else out
