@@ -100,26 +100,53 @@ def measure(batch_size: int):
     )
 
 
+def _first_json_line(stdout: str):
+    return next(
+        (ln for ln in stdout.splitlines() if ln.startswith('{"metric"')),
+        None,
+    )
+
+
 def main():
+    line = None
     for attempt, bs in enumerate(BATCH_LADDER):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(bs)],
             capture_output=True, text=True, timeout=1500,
         )
-        line = next(
-            (ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')),
-            None,
-        )
+        line = _first_json_line(proc.stdout)
         if proc.returncode == 0 and line:
-            print(line)
-            return
+            break
+        line = None
         sys.stderr.write(
             f"bench at batch {bs} failed (rc={proc.returncode}); "
             f"tail: {proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else '?'}\n"
         )
         if attempt + 1 < len(BATCH_LADDER):
             time.sleep(RECOVERY_SECONDS)  # let a faulted TPU worker restart
-    raise SystemExit("all bench attempts failed")
+    if line is None:
+        raise SystemExit("all bench attempts failed")
+
+    record = json.loads(line)
+    # Companion training-step throughput (VERDICT r1 weak #7: make the
+    # training number driver-visible). Best-effort: appended as extra keys on
+    # the SAME single JSON line so the one-line protocol is preserved; on any
+    # failure the inference line still prints alone.
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_train.py")],
+            capture_output=True, text=True, timeout=1200,
+        )
+        tline = _first_json_line(proc.stdout)
+        if proc.returncode == 0 and tline:
+            t = json.loads(tline)
+            record["train_images_per_sec_per_chip"] = t["value"]
+            record["train_vs_baseline"] = t["vs_baseline"]
+    except Exception as e:  # noqa: BLE001 — never lose the primary metric
+        sys.stderr.write(f"train bench skipped: {e}\n")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
