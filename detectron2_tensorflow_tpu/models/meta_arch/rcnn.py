@@ -312,7 +312,9 @@ class _RCNNDrivers:
     def run_box(self, variables, features, boxes, stage, train, grad_scale=1.0,
                 tape=None, boxes_valid=None, storage_pack=None):
         tape = tape or StatsTape(variables)
-        pooled = self.roi.pool_box_features(features, boxes, storage_pack)
+        pooled = self.roi.pool_box_features(
+            features, boxes, storage_pack, valid=boxes_valid
+        )
         if grad_scale != 1.0:
             pooled = scale_gradient(pooled, grad_scale)
         kwargs = {}
@@ -379,7 +381,7 @@ class _RCNNDrivers:
                 scores, ds, _ = self.run_box(
                     variables, features, boxes, k, True,
                     grad_scale=1.0 / self.num_stages, tape=tape,
-                    storage_pack=storage_pack,
+                    boxes_valid=valid, storage_pack=storage_pack,
                 )
                 inst_losses.update(
                     self.roi.stage_losses(
@@ -405,8 +407,13 @@ class _RCNNDrivers:
                 rf = roi_feats.reshape((b, s) + roi_feats.shape[1:])[:, :m]
                 mask_in = rf.reshape((-1,) + rf.shape[2:])
             else:
+                # Pad slots (invalid) skip their patch DMA and pool zeros.
+                # Bg slots are REAL proposals and stay pooled: with a
+                # norm-equipped mask head their features enter batch stats,
+                # and only the loss (masked by is_fg & valid) ignores them.
                 mask_in = self.roi.pool_mask_features(
-                    features, sampled.boxes[:, :m], storage_pack
+                    features, sampled.boxes[:, :m], storage_pack,
+                    valid=sampled.valid[:, :m],
                 )
             mask_logits = tape.apply(
                 self.module, variables, mask_in, train=True, method="mask"
@@ -418,7 +425,8 @@ class _RCNNDrivers:
         if self.keypoint_on:
             m = self.roi.mask_slots
             kp_in = self.roi.pool_keypoint_features(
-                features, sampled.boxes[:, :m], storage_pack
+                features, sampled.boxes[:, :m], storage_pack,
+                valid=sampled.valid[:, :m],
             )
             kp_logits = tape.apply(
                 self.module, variables, kp_in, train=True, method="keypoint"
@@ -467,7 +475,7 @@ class _RCNNDrivers:
             for k in range(self.num_stages):
                 scores, ds, _ = self.run_box(
                     variables, features, boxes, k, False,
-                    storage_pack=storage_pack,
+                    boxes_valid=proposals.is_valid, storage_pack=storage_pack,
                 )
                 stage_scores.append(scores)
                 if k + 1 < self.num_stages:
@@ -485,7 +493,8 @@ class _RCNNDrivers:
         if self.mask_on:
             if self.is_res5:
                 pooled = self.roi.pool_box_features(
-                    features, detections.boxes, storage_pack
+                    features, detections.boxes, storage_pack,
+                    valid=detections.is_valid,
                 )
                 _, _, rf = self.module.apply(
                     variables, pooled, stage=0, train=False, method="box"
@@ -493,7 +502,8 @@ class _RCNNDrivers:
                 mask_in = rf
             else:
                 mask_in = self.roi.pool_mask_features(
-                    features, detections.boxes, storage_pack
+                    features, detections.boxes, storage_pack,
+                    valid=detections.is_valid,
                 )
             mask_logits = self.module.apply(
                 variables, mask_in, train=False, method="mask"
@@ -504,7 +514,8 @@ class _RCNNDrivers:
 
         if self.keypoint_on:
             kp_in = self.roi.pool_keypoint_features(
-                features, detections.boxes, storage_pack
+                features, detections.boxes, storage_pack,
+                valid=detections.is_valid,
             )
             kp_logits = self.module.apply(
                 variables, kp_in, train=False, method="keypoint"
@@ -535,7 +546,8 @@ class _RCNNDrivers:
         if self.mask_on:
             if self.is_res5:
                 pooled = self.roi.pool_box_features(
-                    features, detections.boxes, storage_pack
+                    features, detections.boxes, storage_pack,
+                    valid=detections.is_valid,
                 )
                 _, _, rf = self.module.apply(
                     variables, pooled, stage=0, train=False, method="box"
@@ -543,7 +555,8 @@ class _RCNNDrivers:
                 mask_in = rf
             else:
                 mask_in = self.roi.pool_mask_features(
-                    features, detections.boxes, storage_pack
+                    features, detections.boxes, storage_pack,
+                    valid=detections.is_valid,
                 )
             mask_logits = self.module.apply(
                 variables, mask_in, train=False, method="mask"
@@ -553,7 +566,8 @@ class _RCNNDrivers:
             )
         if self.keypoint_on:
             kp_in = self.roi.pool_keypoint_features(
-                features, detections.boxes, storage_pack
+                features, detections.boxes, storage_pack,
+                valid=detections.is_valid,
             )
             kp_logits = self.module.apply(
                 variables, kp_in, train=False, method="keypoint"

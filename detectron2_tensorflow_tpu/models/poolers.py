@@ -37,7 +37,12 @@ DEFAULT_PATCH = 56
 _ALIGN = 8  # TPU sublane alignment for the W-axis DMA start
 _EXTENT_MARGIN = 2 + (_ALIGN - 1)  # border + worst-case alignment shift
 
-from ..ops.pallas.roi_patch import COL_TIERS, ROW_TIERS  # narrow-DMA window tiers
+from ..ops.pallas.roi_patch import (  # narrow-DMA window tiers + skip sentinel
+    COL_TIERS,
+    ROW_TIERS,
+    skip_tier_class,
+    tier_combos,
+)
 
 
 def assign_boxes_to_levels(
@@ -193,8 +198,18 @@ def plan_rois(
     sampling_ratio: int,
     canonical_box_size: int,
     canonical_level: int,
+    valid: jnp.ndarray | None = None,
 ):
-    """Per-ROI plan against a built storage: (starts [N, 2], wy, wx)."""
+    """Per-ROI plan against a built storage: (starts [N, 3], wy, wx).
+
+    ``valid`` ([N] bool, optional): slots marked invalid get the Pallas
+    skip sentinel as their window-tier class (the kernels issue no DMA and
+    write exact zeros for them — the per-ROI DMA issue cost dominates, and
+    at serving time most of the fixed proposal budget is NMS padding whose
+    outputs every consumer masks), have their origin parked on the plane's
+    trailing zero-pad rows, and get zeroed interpolation weights so the XLA
+    fallback path produces the same zeros.
+    """
     strides = meta.strides
     base_l = meta.base_l
     p = meta.patch_size
@@ -282,6 +297,17 @@ def plan_rois(
         + tier_class([c for c in COL_TIERS if c < p], span_x)
     )
 
+    if valid is not None:
+        skip = jnp.logical_not(valid)
+        # First trailing zero-pad row of the plane (build_storage appends
+        # ``p`` zero rows): a safe parking spot for skipped slots.
+        safe_row = sum(h for h, _ in meta.shapes)
+        cls = jnp.where(skip, skip_tier_class(p), cls)
+        rows = jnp.where(skip, jnp.int32(safe_row), rows)
+        tx = jnp.where(skip, 0.0, tx)  # stays _ALIGN-aligned
+        wy = jnp.where(skip[:, None, None], 0.0, wy)
+        wx = jnp.where(skip[:, None, None], 0.0, wx)
+
     starts = jnp.stack([rows, tx.astype(jnp.int32), cls], axis=1)  # [N, 3]
     return starts, wy, wx
 
@@ -295,6 +321,7 @@ def pool_from_storage(
     canonical_box_size: int = 224,
     canonical_level: int = 4,
     use_pallas: bool | None = None,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """ROIAlign from a pre-built storage plane.
 
@@ -303,6 +330,9 @@ def pool_from_storage(
     passed to the Pallas kernels as a native grid dimension — do NOT wrap
     this in jax.vmap for a batch (vmap of the kernel falls back to a
     sequential lax.map; see ops/pallas/roi_patch.py).
+
+    ``valid`` ([B, N] / [N] bool, optional): invalid slots are skipped
+    entirely and pooled as exact zeros (see :func:`plan_rois`).
     """
     if sampling_ratio <= 0:
         sampling_ratio = 2
@@ -315,7 +345,11 @@ def pool_from_storage(
         canonical_box_size=canonical_box_size,
         canonical_level=canonical_level,
     )
-    starts, wy, wx = (jax.vmap(plan) if batched else plan)(boxes)
+    if valid is None:
+        starts, wy, wx = (jax.vmap(plan) if batched else plan)(boxes)
+    else:
+        plan_v = lambda b, v: plan(b, valid=v)
+        starts, wy, wx = (jax.vmap(plan_v) if batched else plan_v)(boxes, valid)
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu" and storage.dtype == jnp.bfloat16
@@ -399,6 +433,7 @@ def multilevel_roi_align(
     patch_size: int = DEFAULT_PATCH,
     extent_tiers: bool = False,
     use_pallas: bool | None = None,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Pool [N, 4] xyxy boxes from a feature pyramid (list of [Hl, Wl, C]).
 
@@ -411,7 +446,7 @@ def multilevel_roi_align(
     storage, meta = build_storage(features, strides, patch_size, extent_tiers)
     return pool_from_storage(
         storage, meta, boxes, output_size, sampling_ratio,
-        canonical_box_size, canonical_level, use_pallas,
+        canonical_box_size, canonical_level, use_pallas, valid=valid,
     )
 
 
@@ -473,19 +508,24 @@ class ROIPooler:
             features, self.strides, self.patch_size, self.extent_tiers
         )
 
-    def pool(self, storage, meta, boxes: jnp.ndarray) -> jnp.ndarray:
+    def pool(self, storage, meta, boxes: jnp.ndarray,
+             valid: jnp.ndarray | None = None) -> jnp.ndarray:
         """ROIAlign from pre-built storage — batched [B, Htot, Wm, C] (the
-        batch rides the Pallas grid; never jax.vmap this) or single-image."""
+        batch rides the Pallas grid; never jax.vmap this) or single-image.
+        ``valid``: invalid slots skip their DMA and pool exact zeros."""
         return pool_from_storage(
             storage, meta, boxes, self.output_size, self.sampling_ratio,
-            self.canonical_box_size, self.canonical_level,
+            self.canonical_box_size, self.canonical_level, valid=valid,
         )
 
-    def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
         """features: per-level [Hl, Wl, C] (single image); boxes [N, 4]."""
         if len(features) == 1:
             from ..ops.roi_align import roi_align
 
+            # Single-level (C4/DC5) path: a plain XLA gather — no per-ROI
+            # DMA issue cost to skip, so ``valid`` is intentionally unused.
             return roi_align(
                 features[0],
                 boxes,
@@ -495,4 +535,4 @@ class ROIPooler:
                 aligned=self.aligned,
             )
         storage, meta = self.build_storage(features)
-        return self.pool(storage, meta, boxes)
+        return self.pool(storage, meta, boxes, valid)

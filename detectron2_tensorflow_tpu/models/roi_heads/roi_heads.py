@@ -160,32 +160,43 @@ class StandardROIHeads:
         storage = jax.vmap(one)([f for f in feats])
         return storage, meta_box[0]
 
-    def _pool(self, pooler, features: Dict, boxes, storage_pack):
+    def _pool(self, pooler, features: Dict, boxes, storage_pack, valid=None):
         feats = [features[f] for f in self.in_features]
         if storage_pack is None or len(feats) == 1:
-            pooled = jax.vmap(
-                lambda per_image_feats, b: pooler(per_image_feats, b)
-            )([f for f in feats], boxes)
+            if valid is None:
+                pooled = jax.vmap(
+                    lambda per_image_feats, b: pooler(per_image_feats, b)
+                )([f for f in feats], boxes)
+            else:
+                pooled = jax.vmap(
+                    lambda per_image_feats, b, v: pooler(per_image_feats, b, v)
+                )([f for f in feats], boxes, valid)
         else:
             storage, meta = storage_pack
             # Batched natively — the Pallas kernels take the batch as a grid
             # dimension; jax.vmap here would fall back to a sequential
             # lax.map (see ops/pallas/roi_patch.py).
-            pooled = pooler.pool(storage, meta, boxes)
+            pooled = pooler.pool(storage, meta, boxes, valid)
         return pooled.reshape((-1,) + pooled.shape[2:])
 
     def pool_box_features(self, features: Dict, boxes: jnp.ndarray,
-                          storage_pack=None) -> jnp.ndarray:
-        """features: dict of [B, H, W, C]; boxes [B, N, 4] -> [B*N, S, S, C]."""
-        return self._pool(self.box_pooler, features, boxes, storage_pack)
+                          storage_pack=None, valid=None) -> jnp.ndarray:
+        """features: dict of [B, H, W, C]; boxes [B, N, 4] -> [B*N, S, S, C].
+
+        ``valid`` [B, N] (optional): invalid slots skip their patch DMA in
+        the Pallas kernels and pool exact zeros — every consumer masks
+        them, and the per-ROI DMA issue cost dominates the pooler."""
+        return self._pool(self.box_pooler, features, boxes, storage_pack, valid)
 
     def pool_mask_features(self, features: Dict, boxes: jnp.ndarray,
-                           storage_pack=None) -> jnp.ndarray:
-        return self._pool(self.mask_pooler, features, boxes, storage_pack)
+                           storage_pack=None, valid=None) -> jnp.ndarray:
+        return self._pool(self.mask_pooler, features, boxes, storage_pack, valid)
 
     def pool_keypoint_features(self, features: Dict, boxes: jnp.ndarray,
-                               storage_pack=None) -> jnp.ndarray:
-        return self._pool(self.keypoint_pooler, features, boxes, storage_pack)
+                               storage_pack=None, valid=None) -> jnp.ndarray:
+        return self._pool(
+            self.keypoint_pooler, features, boxes, storage_pack, valid
+        )
 
     # -- losses -------------------------------------------------------------------
     def box_losses(

@@ -65,6 +65,21 @@ def full_tier_class(p):
     return len(tier_combos(p)) - 1
 
 
+def skip_tier_class(p):
+    """Tier-class SENTINEL marking a ROI the kernels skip entirely.
+
+    The per-ROI DMA *issue* cost (~0.7 us on v5e) dominates both kernels,
+    and at serving time most of the fixed 1000 proposal slots are NMS
+    padding (``is_valid`` false; their outputs are masked by every
+    consumer). A sentinel-classed ROI issues NO DMA: the forward writes
+    exact zeros to its output block (deterministic — garbage VMEM could
+    hold NaNs, and 0 * NaN poisons gradients), and the backward is a
+    complete no-op (a masked slot's cotangent is identically zero, so
+    skipping its read-modify-write equals adding zero).
+    """
+    return len(tier_combos(p))
+
+
 FWD_GROUP = 4  # ROIs interpolated per forward grid step
 # Measured on v5e at the production box-pooler shape (B=32, N=1000, P=32,
 # C=256, S=7): the forward kernel is bound by a ~0.7 us/ROI DMA ISSUE cost —
@@ -177,30 +192,50 @@ def _make_kernel(group, precision):
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )  # [S(u), S(o), C]
-                out_ref[0, k] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+                cls_k = starts_ref[2, b, j * group + k]
+
+                @pl.when(cls_k < len(combos))
+                def _(k=k, out=out):
+                    out_ref[0, k] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+
+                @pl.when(cls_k >= len(combos))
+                def _(k=k):
+                    out_ref[0, k] = jnp.zeros_like(out_ref[0, k])
         else:
             for k in range(group):
-                patch = patch_ref[slot, k]  # [P, P, C]
+                # The load + reshape stay OUTSIDE the conditional (Mosaic
+                # rejects reshaping a ref load inside a pl.when region);
+                # the dots and the write are gated so a sentinel-classed
+                # member (skip_tier_class — no DMA was issued; the patch
+                # slot is stale) skips its MXU work and writes exact zeros.
+                patch2 = patch_ref[slot, k].reshape(p, p * c)  # [P, P*C]
                 wy = wy_ref[0, k]  # [S, P]
                 wx = wx_ref[0, k]  # [S, P]
+                cls_k = starts_ref[2, b, j * group + k]
 
-                # a[o, q, c] = sum_p wy[o, p] * patch[p, q, c]
-                a = jax.lax.dot_general(
-                    wy.astype(patch.dtype),
-                    patch.reshape(p, p * c),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                ).reshape(s, p, c)
-                # out[o, u, c] = sum_q wx[u, q] * a[o, q, c] — contract q.
-                out = jax.lax.dot_general(
-                    wx.astype(jnp.float32),
-                    a,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )  # [S(u), S(o), C]
-                out_ref[0, k] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+                @pl.when(cls_k < len(combos))
+                def _(k=k, patch2=patch2, wy=wy, wx=wx):
+                    # a[o, q, c] = sum_p wy[o, p] * patch[p, q, c]
+                    a = jax.lax.dot_general(
+                        wy.astype(patch2.dtype),
+                        patch2,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ).reshape(s, p, c)
+                    # out[o, u, c] = sum_q wx[u, q] a[o, q, c] — contract q.
+                    out = jax.lax.dot_general(
+                        wx.astype(jnp.float32),
+                        a,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )  # [S(u), S(o), C]
+                    out_ref[0, k] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+
+                @pl.when(cls_k >= len(combos))
+                def _(k=k):
+                    out_ref[0, k] = jnp.zeros_like(out_ref[0, k])
 
     return kernel
 
@@ -358,9 +393,8 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
     # Sort by region; padding sorts last (key above any real region).
     key = rows * 2048 + txs
     if pad:
-        # dummies carry zero gradient; give them the smallest window tier
-        # (cheapest DMA) aimed at the plane's trailing zero rows.
-        full_cls = 0
+        # dummies are sentinel-classed: the kernel issues no DMA for them.
+        full_cls = skip_tier_class(p)
         fill = lambda v, shape=(bsz, pad): jnp.full(shape, jnp.int32(v))
         key = jnp.concatenate([key, fill(2 ** 30)], axis=1)
         rows = jnp.concatenate([rows, fill(out_shape[1] - p)], axis=1)
@@ -385,11 +419,16 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
     wx = take(wx)
 
     # Group hazard: any pairwise region overlap among the group's members.
+    # Sentinel-classed members (skipped slots / pad dummies) issue no DMA
+    # at all, so they can never conflict — exclude them or a group of
+    # dummies parked on the same trailing rows would serialize for nothing.
     gr = rows.reshape(bsz, q, group)
     gt = txs.reshape(bsz, q, group)
+    real = (cls < skip_tier_class(p)).reshape(bsz, q, group)
     dy = jnp.abs(gr[:, :, :, None] - gr[:, :, None, :])
     dx = jnp.abs(gt[:, :, :, None] - gt[:, :, None, :])
     pair = (dy < p) & (dx < p)
+    pair = pair & real[:, :, :, None] & real[:, :, None, :]
     pair = pair & ~jnp.eye(group, dtype=bool)[None, None]
     hazard = jnp.any(pair, axis=(2, 3)).astype(jnp.int32)  # [B, q]
     # SMEM layout: [4, B, m] — the per-ROI axis must be LAST (SMEM pads
@@ -479,15 +518,16 @@ def roi_patch_interpolate(
     group = FWD_GROUP
     m = -(-n // group) * group
     if m != n:
-        # Pad with dummy ROIs aimed at the plane's trailing zero rows
-        # (smallest window tier); their outputs are sliced off below.
+        # Pad with sentinel-classed dummies (no DMA issued, zero output);
+        # their output blocks are sliced off below.
         pad = m - n
         starts = jnp.concatenate(
             [
                 starts,
                 jnp.tile(
                     jnp.array(
-                        [[[stacked.shape[1] - p, 0, 0]]], jnp.int32
+                        [[[stacked.shape[1] - p, 0, skip_tier_class(p)]]],
+                        jnp.int32,
                     ),
                     (bsz, pad, 1),
                 ),

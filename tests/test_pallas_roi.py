@@ -322,3 +322,79 @@ def test_backward_with_narrowed_plan_classes_interpret():
     )
     want = _manual_scatter(storage.shape, starts, g, wy, wx, p)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
+
+
+def test_valid_skip_zeros_invalid_slots_and_preserves_valid():
+    """Invalid slots (NMS padding) pool EXACT zeros and are skipped by the
+    kernels (sentinel tier class = no DMA); valid slots are untouched. Both
+    the Pallas (interpret) and XLA paths must agree."""
+    from detectron2_tensorflow_tpu.models.poolers import (
+        build_storage,
+        plan_patch,
+        pool_from_storage,
+    )
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
+        roi_patch_interpolate,
+        skip_tier_class,
+    )
+    from detectron2_tensorflow_tpu.models.poolers import plan_rois
+
+    rng = np.random.default_rng(11)
+    strides = [4, 8, 16, 32]
+    feats = [
+        jnp.asarray(rng.standard_normal((64 // 2**i, 96 // 2**i, 128)).astype(np.float32))
+        for i in range(4)
+    ]
+    patch, tiers = plan_patch(384, 32)
+    st, meta = build_storage(feats, strides, patch, tiers)
+    n = 13  # not a group multiple: exercises sentinel pad dummies too
+    boxes = jnp.asarray(_boxes(rng, n=n))
+    valid = jnp.asarray(rng.random(n) > 0.4)
+    v = np.asarray(valid)
+
+    ref = pool_from_storage(st, meta, boxes, 7, 2, use_pallas=False)
+    out = pool_from_storage(st, meta, boxes, 7, 2, use_pallas=False, valid=valid)
+    np.testing.assert_array_equal(np.asarray(out)[~v], 0.0)
+    np.testing.assert_allclose(np.asarray(out)[v], np.asarray(ref)[v])
+
+    starts, wy, wx = plan_rois(meta, boxes, 7, 2, 224, 4, valid=valid)
+    assert np.all(np.asarray(starts)[~v, 2] == skip_tier_class(patch))
+    assert np.all(np.asarray(starts)[v, 2] < skip_tier_class(patch))
+    got = roi_patch_interpolate(st, starts, wy, wx, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got)[~v], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got)[v], np.asarray(ref)[v], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_valid_skip_gradients_match_unskipped():
+    """For a loss that masks invalid slots (as every consumer does), grads
+    w.r.t. the storage must be IDENTICAL with and without the skip."""
+    from detectron2_tensorflow_tpu.models.poolers import (
+        build_storage,
+        plan_patch,
+        pool_from_storage,
+    )
+
+    rng = np.random.default_rng(12)
+    strides = [4, 8, 16, 32]
+    feats = [
+        jnp.asarray(rng.standard_normal((64 // 2**i, 96 // 2**i, 128)).astype(np.float32))
+        for i in range(4)
+    ]
+    patch, tiers = plan_patch(384, 32)
+    st, meta = build_storage(feats, strides, patch, tiers)
+    n = 10
+    boxes = jnp.asarray(_boxes(rng, n=n))
+    valid = jnp.asarray(rng.random(n) > 0.5)
+
+    def loss(stor, valid_arg):
+        o = pool_from_storage(stor, meta, boxes, 7, 2, use_pallas=False,
+                              valid=valid_arg)
+        return jnp.sum(jnp.where(valid[:, None, None, None], o, 0.0) ** 2)
+
+    g_ref = jax.grad(lambda s: loss(s, None))(st)
+    g_new = jax.grad(lambda s: loss(s, valid))(st)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_ref), atol=1e-5, rtol=1e-5
+    )
