@@ -122,14 +122,19 @@ def _make_kernel(group, precision):
             )
 
         def tiered(jg, k, op):
-            # The DMA is narrowed to the ROI's weight-bearing (row, col)
-            # window tier (starts[:, 2]); start and wait branch identically
-            # so the awaited byte count matches the issued copy.
+            # Forward DMA policy: ONE full-patch window for every real ROI.
+            # The forward is bound by per-member sequencing, not DMA bytes
+            # (measured: min tier == full tier per-ROI time), so the 9-way
+            # narrow-window branch tree the BACKWARD profits from (RMW =
+            # 2 DMAs/ROI on f32 planes) is pure branch overhead here —
+            # ~0.15 us/ROI on v5e. A full window is always in bounds: the
+            # plane carries P trailing zero rows and tx <= w_max - P.
+            # Only the skip sentinel (invalid slot) branches: no DMA.
             cls = starts_ref[2, b, jg * group + k]
-            for t, (r, ct) in enumerate(combos):
-                @pl.when(cls == t)
-                def _(r=r, ct=ct):
-                    op(r, ct)
+
+            @pl.when(cls < len(combos))
+            def _():
+                op(p, p)
 
         @pl.when((b == 0) & (j == 0))
         def _():
