@@ -81,14 +81,26 @@ def skip_tier_class(p):
 
 
 FWD_GROUP = 4  # ROIs interpolated per forward grid step
-# Measured on v5e at the production box-pooler shape (B=32, N=1000, P=32,
-# C=256, S=7): the forward kernel is bound by a ~0.7 us/ROI DMA ISSUE cost —
-# per-ROI time is insensitive to window bytes (min tier == full tier), to
-# group size (1/2/4/8 identical), and to matmul shape (block-diagonal
-# batching of the group's dots, below, is neutral: the MXU work hides
-# entirely behind the DMA issues). Narrow tiers still pay off in the
-# backward, whose read-modify-write traffic is 2 DMAs/ROI on f32 planes.
-FWD_BLOCKDIAG = False  # neutral on v5e (see above); kept for experiments
+# Measured on v5e at the production box-pooler shape (B=16, N=1000, P=32,
+# C=256, S=7), per ROI slot. The forward is bound by per-member VMEM
+# consumption + fixed sequencing, NOT by the HBM DMA:
+#   * skipping a member's DMA alone (valid-skip, round 2) saved ~2% — the
+#     patch load feeding dot1 always read the full [P, P*C] from VMEM
+#     regardless of how narrow the HBM window was (which is why window
+#     tiers measured "insensitive" here while paying a 9-way branch tree);
+#   * gating the dots + write on the skip sentinel: 1.31 -> 0.66 us/slot
+#     at 18/1000 valid (so load+dots are ~half the member cost);
+#   * dropping the tier tree for one full-window DMA: all-valid
+#     1.31 -> 1.16, skip-heavy 0.66 -> 0.47;
+#   * block-diagonal K=128 batching of the group's first dots
+#     (FWD_BLOCKDIAG): neutral at all-valid (same VMEM bytes) and 2.5x
+#     worse when most slots skip (no per-member compute gate) — keep off.
+# Remaining lead: row-tier-sliced dots (wy[:, :r] @ patch[:r] is exact —
+# rows past the window carry zero weight) would cut the VMEM read ~40%,
+# but needs a ref slice + reshape inside a pl.when region, which Mosaic
+# currently rejects. Narrow tiers DO pay off in the backward, whose
+# read-modify-write traffic is 2 HBM DMAs/ROI on f32 planes.
+FWD_BLOCKDIAG = False  # worse or neutral on v5e (see above); experiments only
 
 
 def _make_kernel(group, precision):
