@@ -125,11 +125,15 @@ def evaluate(
     class_names = getattr(dataset, "class_names", None) or getattr(
         dataset, "thing_classes", None
     )
-    if cfg.EVAL.INCLUDE_METRICS_PER_CATEGORY and class_names:
-        # Per-category AP rows (reference evaluation.py per-category knob).
+    if (cfg.EVAL.INCLUDE_METRICS_PER_CATEGORY
+            or cfg.EVAL.ALL_METRICS_PER_CATEGORY) and class_names:
+        # Per-category metric rows (reference evaluation.py:107-108):
+        # INCLUDE_* adds AP-<class>; ALL_* additionally emits AP50/AP75/
+        # APs/m/l per class (reference coco_evaluator.py:29-32).
         for ev, _ in evaluators.values():
             if isinstance(ev, CocoEvaluator):
-                ev.per_category = True
+                ev.per_category = cfg.EVAL.INCLUDE_METRICS_PER_CATEGORY
+                ev.all_per_category = cfg.EVAL.ALL_METRICS_PER_CATEGORY
                 ev.class_names = list(class_names)
     for batch in data_iter:
         out = predict(variables, batch)

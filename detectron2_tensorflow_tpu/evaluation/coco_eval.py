@@ -129,12 +129,17 @@ class CocoEvaluator:
 
     def __init__(self, num_classes: int, iou_type: str = "bbox",
                  class_names: Optional[List[str]] = None,
-                 per_category: bool = False):
+                 per_category: bool = False,
+                 all_per_category: bool = False):
         assert iou_type in ("bbox", "segm", "keypoints")
         self.num_classes = num_classes
         self.iou_type = iou_type
         self.class_names = class_names
         self.per_category = per_category
+        # EVAL.ALL_METRICS_PER_CATEGORY (reference evaluation.py:108 /
+        # coco_evaluator.py:19-32): per-category rows for EVERY summary
+        # metric (AP50/AP75/APs/m/l), not just mAP.
+        self.all_per_category = all_per_category
         # per (class, area) lists across images
         self._entries: List[Dict] = []
 
@@ -251,6 +256,10 @@ class CocoEvaluator:
                     ar_all.append(ar_c)
                     if area_name == "all" and max_det == 100:
                         ap_per_class.setdefault("AP", {})[c] = ap_c
+                    elif area_name != "all":
+                        ap_per_class.setdefault(
+                            f"AP{area_name[0]}", {}
+                        )[c] = ap_c
                 mean_ap = float(np.mean(ap_all)) if ap_all else float("nan")
                 mean_ar = float(np.mean(ar_all)) if ar_all else float("nan")
                 if area_name == "all" and max_det == 100:
@@ -264,18 +273,26 @@ class CocoEvaluator:
 
         # AP at fixed thresholds 0.5 / 0.75 (all area, 100 dets)
         for name, ti in (("AP50", 0), ("AP75", 5)):
-            stats[name] = 100 * self._ap_at_threshold(ti)
-        if self.per_category and self.class_names:
+            mean_v, by_class = self._ap_at_threshold(ti)
+            stats[name] = 100 * mean_v
+            ap_per_class[name] = by_class
+        if (self.per_category or self.all_per_category) and self.class_names:
             for c, v in ap_per_class.get("AP", {}).items():
                 stats[f"AP-{self.class_names[c]}"] = 100 * v
+        if self.all_per_category and self.class_names:
+            for metric in ("AP50", "AP75", "APs", "APm", "APl"):
+                for c, v in ap_per_class.get(metric, {}).items():
+                    stats[f"{metric}-{self.class_names[c]}"] = 100 * v
         return stats
 
     def _gt_ignore(self, pc, amin, amax):
         return pc["iscrowd"] | (pc["gt_area"] < amin) | (pc["gt_area"] > amax)
 
-    def _ap_at_threshold(self, ti: int) -> float:
+    def _ap_at_threshold(self, ti: int):
+        """Mean AP at one IoU threshold + the per-class values."""
         amin, amax = AREA_RANGES["all"]
         aps = []
+        by_class = {}
         for c in range(self.num_classes):
             scores_l, tps_l, igs_l = [], [], []
             n_gt = 0
@@ -296,6 +313,7 @@ class CocoEvaluator:
                 continue
             if not scores_l:
                 aps.append(0.0)
+                by_class[c] = 0.0
                 continue
             scores = np.concatenate(scores_l)
             tps = np.concatenate(tps_l)
@@ -315,7 +333,8 @@ class CocoEvaluator:
                 else np.zeros_like(RECALL_GRID)
             )
             aps.append(float(p.mean()))
-        return float(np.mean(aps)) if aps else float("nan")
+            by_class[c] = aps[-1]
+        return (float(np.mean(aps)) if aps else float("nan")), by_class
 
 
 class ProposalEvaluator:

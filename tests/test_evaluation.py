@@ -289,3 +289,37 @@ def test_build_detection_evaluators_dispatch():
 
     with pytest.raises(ValueError):
         build_detection_evaluators(cfg)
+
+
+def test_all_metrics_per_category_rows():
+    """EVAL.ALL_METRICS_PER_CATEGORY (reference coco_evaluator.py:19-32):
+    per-class rows for every summary metric, consistent with the means."""
+    ev = CocoEvaluator(num_classes=2, iou_type="bbox",
+                       class_names=["cat", "dog"], all_per_category=True)
+    for _ in range(3):
+        gt = _img_gt([[10, 10, 50, 50], [60, 60, 90, 95]], [0, 1])
+        # class 0 perfect; class 1 always missed (a far-away false positive)
+        det = _det([[10, 10, 50, 50], [200, 200, 230, 230]], [0.9, 0.8], [0, 1])
+        ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert abs(m["AP-cat"] - 100.0) < 1e-6, m
+    assert abs(m["AP-dog"] - 0.0) < 1e-6, m
+    assert abs(m["AP50-cat"] - 100.0) < 1e-6, m
+    assert abs(m["AP50-dog"] - 0.0) < 1e-6, m
+    assert abs(m["AP75-cat"] - 100.0) < 1e-6, m
+    # per-class values must average to the summary metric
+    assert abs(m["AP"] - (m["AP-cat"] + m["AP-dog"]) / 2) < 1e-6
+    assert abs(m["AP50"] - (m["AP50-cat"] + m["AP50-dog"]) / 2) < 1e-6
+    # area-range per-class rows exist for classes with GT in that range
+    # (both boxes here are 'small'-to-'medium' sized: 40x40 and 30x35)
+    assert any(k.startswith("APs-") or k.startswith("APm-") for k in m), m
+
+
+def test_per_category_off_emits_no_class_rows():
+    ev = CocoEvaluator(num_classes=2, iou_type="bbox",
+                       class_names=["cat", "dog"])
+    gt = _img_gt([[10, 10, 50, 50]], [0])
+    det = _det([[10, 10, 50, 50]], [0.9], [0])
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert not any("-cat" in k or "-dog" in k for k in m), m
