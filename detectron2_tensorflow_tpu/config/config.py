@@ -254,6 +254,12 @@ def _apply_upstream_aliases(loaded: Dict) -> None:
     if isinstance(dl, dict) and "NUM_WORKERS" in dl:
         dl["NUM_READERS"] = dl.pop("NUM_WORKERS")
 
+    sol = loaded.get("SOLVER")
+    if isinstance(sol, dict) and "CHECKPOINT_PERIOD" in sol:
+        # Upstream-D2 save cadence -> the two-tier scheme's short-term
+        # interval (the reference's CheckpointKeepingHook vocabulary).
+        sol.setdefault("SHORT_TERM_SAVE_STEPS", sol["CHECKPOINT_PERIOD"])
+
 
 def _merge_dict_a_into_b(a: Dict, b: Dict) -> None:
     for k, v in a.items():

@@ -147,6 +147,12 @@ _C.AUGMENT.JITTER_BOX.RATIO = 0.05
 # ----------------------------------------------------------------------------
 _C.DATALOADER = CN()
 _C.DATALOADER.NUM_READERS = 4
+# The four tf.data streaming knobs below (reference dataloader.py:31,92-111)
+# are accepted for YAML compatibility but architecturally SUBSUMED here:
+# records are indexed at construction and read by random access, so the
+# loader shuffles the FULL epoch order (strictly stronger than any
+# streaming shuffle buffer), and parallel batch assembly is governed by
+# NUM_READERS + NUM_PREFETCH_BATCHES alone.
 _C.DATALOADER.READ_BLOCK_LENGTH = 1
 _C.DATALOADER.FILE_READ_BUFFER_SIZE = 8
 _C.DATALOADER.SAMPLE_1_OF_N = 1

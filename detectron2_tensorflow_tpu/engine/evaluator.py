@@ -13,6 +13,7 @@ import logging
 from typing import Dict, Iterable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..evaluation.coco_eval import CocoEvaluator
@@ -116,7 +117,27 @@ def evaluate(
         evaluators = build_detection_evaluators(cfg)
         auto_extend = tuple(cfg.EVAL.METRICS) == ("coco_detection_metrics",)
 
-    predict = jax.jit(model.predict)
+    if cfg.TEST.AUG.ENABLED:
+        # Test-time augmentation: per-image multi-scale (+flip) NMS-merged
+        # inference. Outputs live in the SAME (resized) frame as
+        # model.predict, so the original-resolution un-scaling below
+        # applies unchanged.
+        from .tta import tta_predict
+
+        def predict(variables, batch):
+            outs = [
+                tta_predict(
+                    cfg, model, variables,
+                    {k: v[i:i + 1] for k, v in batch.items()
+                     if hasattr(v, "shape") and v.ndim >= 1},
+                )
+                for i in range(batch["image"].shape[0])
+            ]
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs
+            )
+    else:
+        predict = jax.jit(model.predict)
     seen = set()
     n_done = 0
     n_drawn = 0
@@ -125,6 +146,13 @@ def evaluate(
     class_names = getattr(dataset, "class_names", None) or getattr(
         dataset, "thing_classes", None
     )
+    if list(cfg.TEST.KEYPOINT_OKS_SIGMAS):
+        # Per-keypoint OKS sigma override for non-COCO vocabularies.
+        for ev, kind in evaluators.values():
+            if isinstance(ev, CocoEvaluator) and kind == "keypoints":
+                ev.kp_sigmas = np.asarray(
+                    list(cfg.TEST.KEYPOINT_OKS_SIGMAS), np.float64
+                )
     if (cfg.EVAL.INCLUDE_METRICS_PER_CATEGORY
             or cfg.EVAL.ALL_METRICS_PER_CATEGORY) and class_names:
         # Per-category metric rows (reference evaluation.py:107-108):
@@ -156,9 +184,16 @@ def evaluate(
             scores = np.asarray(out.scores[i])[valid]
             classes = np.asarray(out.pred_classes[i])[valid]
 
+            gt_classes = np.asarray(raw["classes"])
+            if cfg.EVAL.CLASS_AGNOSTIC:
+                # Localization-only evaluation: zero out GT and predicted
+                # classes before feeding the evaluators (reference
+                # evaluation.py:97,226-227,267-268).
+                gt_classes = np.zeros_like(gt_classes)
+                classes = np.zeros_like(classes)
             gt = {
                 "boxes": raw["boxes"],
-                "classes": raw["classes"],
+                "classes": gt_classes,
                 "is_crowd": raw["is_crowd"],
                 "areas": raw.get("areas"),
             }
@@ -169,8 +204,12 @@ def evaluate(
                     evaluators["segm"] = (CocoEvaluator(num_classes, "segm"), "segm")
                 if ("pred_keypoints" in out and "keypoints" in raw
                         and "keypoints" not in evaluators):
-                    evaluators["keypoints"] = (
-                        CocoEvaluator(num_classes, "keypoints"), "keypoints")
+                    kp_ev = CocoEvaluator(num_classes, "keypoints")
+                    if list(cfg.TEST.KEYPOINT_OKS_SIGMAS):
+                        kp_ev.kp_sigmas = np.asarray(
+                            list(cfg.TEST.KEYPOINT_OKS_SIGMAS), np.float64
+                        )
+                    evaluators["keypoints"] = (kp_ev, "keypoints")
 
             det_masks = None
             if "pred_masks" in out and any(
@@ -257,7 +296,27 @@ def evaluate_sem_seg(
         cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
         ignore_label=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
     )
-    predict = jax.jit(model.predict)
+    if cfg.TEST.AUG.ENABLED:
+        # Test-time augmentation: per-image multi-scale (+flip) NMS-merged
+        # inference. Outputs live in the SAME (resized) frame as
+        # model.predict, so the original-resolution un-scaling below
+        # applies unchanged.
+        from .tta import tta_predict
+
+        def predict(variables, batch):
+            outs = [
+                tta_predict(
+                    cfg, model, variables,
+                    {k: v[i:i + 1] for k, v in batch.items()
+                     if hasattr(v, "shape") and v.ndim >= 1},
+                )
+                for i in range(batch["image"].shape[0])
+            ]
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs
+            )
+    else:
+        predict = jax.jit(model.predict)
     seen = set()
     n_done = 0
     for batch in data_iter:

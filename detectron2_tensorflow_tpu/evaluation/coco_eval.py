@@ -140,6 +140,9 @@ class CocoEvaluator:
         # coco_evaluator.py:19-32): per-category rows for EVERY summary
         # metric (AP50/AP75/APs/m/l), not just mAP.
         self.all_per_category = all_per_category
+        # TEST.KEYPOINT_OKS_SIGMAS: per-keypoint OKS sigmas override for
+        # non-COCO keypoint vocabularies; None = COCO person defaults.
+        self.kp_sigmas = None
         # per (class, area) lists across images
         self._entries: List[Dict] = []
 
@@ -181,7 +184,8 @@ class CocoEvaluator:
                       if gsel.any() else np.zeros((0, 17, 3)))
                 dk = (np.asarray(det["keypoints"], np.float64)[dsel][order]
                       if dsel.any() else np.zeros((0, 17, 3)))
-                ious = oks_matrix(dk, gk, gt_area[gsel], iscrowd[gsel])
+                ious = oks_matrix(dk, gk, gt_area[gsel], iscrowd[gsel],
+                                  sigmas=self.kp_sigmas)
             else:
                 ious = box_iou_matrix(dt_boxes[dsel][order], gt_boxes[gsel], iscrowd[gsel])
             entry["per_class"][int(c)] = {

@@ -134,7 +134,13 @@ class DetectionExporter:
 
         closed = jax.jit(lambda img, size: serve(variables, img, size))
         exported = jax_export.export(closed)(example_image, example_size)
-        hlo_path = os.path.join(output_dir, "model.stablehlo")
+        # SERVING_MODEL.FROZEN_GRAPH_FILE_NAME names the self-contained
+        # program artifact (reference base.py:77 wrote the frozen .pb under
+        # it); the TF1 default gets a .stablehlo extension here.
+        hlo_name = cfg.SERVING_MODEL.FROZEN_GRAPH_FILE_NAME or "model.stablehlo"
+        if hlo_name.endswith(".pb"):
+            hlo_name = hlo_name[:-3] + ".stablehlo"
+        hlo_path = os.path.join(output_dir, hlo_name)
         with open(hlo_path, "wb") as f:
             f.write(exported.serialize())
         artifacts["stablehlo"] = hlo_path
@@ -222,14 +228,21 @@ class DetectionExporter:
                 for i, name in enumerate(class_names):
                     f.write(f"{i + offset}:{name}\n")
             artifacts["label_map"] = os.path.join(output_dir, "label_index.map")
+        prefix = cfg.SERVING_MODEL.INPUT_OUTPUT_TENSOR_PREFIX
+        out_names = [
+            "num_detections", "detection_boxes (normalized xyxy)",
+            "detection_scores", "detection_classes",
+        ]
         info = {
             "meta_architecture": cfg.MODEL.META_ARCHITECTURE,
             "serving_size": list(serving_size),
             "label_offset": cfg.SERVING_MODEL.LABEL_OFFSET,
             "input": "uint8 RGB [1, H, W, 3] + true (h, w) int32 [1, 2]",
+            # reference base.py:97 records the tensor-name prefix so
+            # serving clients can reconstruct the fully-qualified names.
+            "input_output_tensor_prefix": prefix,
             "outputs": [
-                "num_detections", "detection_boxes (normalized xyxy)",
-                "detection_scores", "detection_classes",
+                (f"{prefix}/{n}" if prefix else n) for n in out_names
             ],
         }
         with open(os.path.join(output_dir, "model_info.json"), "w") as f:

@@ -92,11 +92,14 @@ class RPN:
             True: r.POST_NMS_TOPK_TRAIN,
             False: r.POST_NMS_TOPK_TEST,
         }
+        self.head_name = r.HEAD_NAME
 
-    def head_module(self, dtype=jnp.float32) -> StandardRPNHead:
+    def head_module(self, dtype=jnp.float32) -> nn.Module:
         a = self.anchor_generator.num_anchors_per_location
         assert len(set(a)) == 1, "RPN requires equal anchors per level"
-        return StandardRPNHead(
+        # MODEL.RPN.HEAD_NAME registry dispatch (reference rpn.py:22-27).
+        head_cls = RPN_HEAD_REGISTRY.get(self.head_name)
+        return head_cls(
             in_channels=self.in_channels,
             num_anchors=a[0],
             dtype=dtype,

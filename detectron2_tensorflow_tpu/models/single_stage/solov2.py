@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ...ops import matrix_nms
 from ...structures import Instances, paste_masks_in_image
-from ..layers import Conv2D
+from ..deform_conv import DeformConv2D
+from ..layers import Conv2D, get_norm
 from ..losses import dice_loss, sigmoid_focal_loss
 from ..sem_seg import upsample_bilinear
 
@@ -36,6 +37,27 @@ def _coord_grids(h: int, w: int, dtype) -> jnp.ndarray:
     xs = jnp.linspace(-1.0, 1.0, w, dtype=dtype)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     return jnp.stack([gx, gy], axis=-1)
+
+
+class _DeformTowerConv(nn.Module):
+    """Deformable 3x3 + norm + relu tower block (MODEL.SOLO.USE_DEFORM_CONV;
+    reference solo_v2.py:184-187, 670-674 swap the tower conv_op)."""
+
+    features: int
+    norm: str = "GN"
+    modulated: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DeformConv2D(
+            self.features, modulated=self.modulated, dtype=self.dtype,
+            name="conv",
+        )(x, train=train)
+        n = get_norm(self.norm, self.features, self.dtype)
+        if n is not None:
+            x = n(x, train=train)
+        return jax.nn.relu(x)
 
 
 class SOLOv2Head(nn.Module):
@@ -55,20 +77,29 @@ class SOLOv2Head(nn.Module):
     mask_convs_dim: int = 128
     mask_out_dims: int = 256
     mask_norm: str = "GN"
+    use_deform: bool = False
+    deform_modulated: bool = False
     dtype: Any = jnp.float32
+
+    def _tower_conv(self, dim, norm, name):
+        if self.use_deform:
+            return _DeformTowerConv(
+                dim, norm=norm, modulated=self.deform_modulated,
+                dtype=self.dtype, name=name,
+            )
+        return Conv2D(dim, 3, norm=norm, activation="relu",
+                      dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False):
         """Returns (cate_logits [B,S,S,K] per level, kernels [B,S,S,E] per
         level, mask_features [B, H/4, W/4, D])."""
         cate_tower = [
-            Conv2D(self.convs_dim, 3, norm=self.norm, activation="relu",
-                   dtype=self.dtype, name=f"cate_tower_{i}")
+            self._tower_conv(self.convs_dim, self.norm, f"cate_tower_{i}")
             for i in range(self.num_convs)
         ]
         kernel_tower = [
-            Conv2D(self.convs_dim, 3, norm=self.norm, activation="relu",
-                   dtype=self.dtype, name=f"kernel_tower_{i}")
+            self._tower_conv(self.convs_dim, self.norm, f"kernel_tower_{i}")
             for i in range(self.num_convs)
         ]
         bias = -math.log((1 - self.prior_prob) / self.prior_prob)
@@ -113,9 +144,8 @@ class SOLOv2Head(nn.Module):
                 x = jnp.concatenate([x, coords], axis=-1)
             n_ups = max(0, int(math.log2(stride)) - 2)
             for i in range(max(1, n_ups)):
-                x = Conv2D(
-                    self.mask_convs_dim, 3, norm=self.mask_norm,
-                    activation="relu", dtype=self.dtype, name=f"mask_{f}_{i}",
+                x = self._tower_conv(
+                    self.mask_convs_dim, self.mask_norm, f"mask_{f}_{i}"
                 )(x, train=train)
                 if stride > 4:
                     x = upsample_bilinear(x, 2)
@@ -167,6 +197,8 @@ class SOLOv2:
             mask_convs_dim=s.MASK_FEATURE_CONVS_DIM,
             mask_out_dims=s.MASK_FEATURE_OUT_DIMS,
             mask_norm=s.MASK_FEATURE_NORM,
+            use_deform=s.USE_DEFORM_CONV,
+            deform_modulated=s.DEFORM_MODULATED,
             dtype=dtype,
             name="head",
         )

@@ -132,6 +132,18 @@ def main():
 
     def eval_once():
         variables = load_variables(cfg, model, sample, ckpt)
+        if cfg.TEST.PRECISE_BN.ENABLED:
+            # Re-estimate BatchNorm statistics over NUM_ITER batches before
+            # evaluating (TEST.PRECISE_BN — config-only in the reference).
+            import itertools
+
+            from detectron2_tensorflow_tpu.engine.tta import precise_bn
+
+            n = cfg.TEST.PRECISE_BN.NUM_ITER
+            variables = precise_bn(
+                model, variables, itertools.islice(data_iter(), n),
+                num_iters=n,
+            )
         writer = None
         if args.dump_results:
             from detectron2_tensorflow_tpu.evaluation.coco_results import (
