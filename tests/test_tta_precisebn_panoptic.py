@@ -276,3 +276,30 @@ def test_tta_attaches_masks_via_given_boxes():
     assert out.pred_masks.shape[:2] == (1, 6)
     m = np.asarray(out.pred_masks[0])
     assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
+
+
+def test_eval_loop_dispatches_tta():
+    """TEST.AUG.ENABLED must route the evaluation loop's prediction through
+    the per-image multi-scale merge (round-2: the knob previously only
+    worked via direct tta_predict calls, never from eval)."""
+    from detectron2_tensorflow_tpu.data import build_dataloader
+    from detectron2_tensorflow_tpu.engine.evaluator import evaluate
+    from test_data import SyntheticDataset
+
+    cfg = _tiny_rcnn_cfg()
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (48, 64)
+    cfg.TEST.AUG.MAX_SIZE = 128
+    cfg.TEST.AUG.FLIP = False  # halve the compile count; flip covered above
+    cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST = 64
+    cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST = 128
+    cfg.INPUT.PAD_BUCKETS = ((64, 128), (128, 64))
+    cfg.SOLVER.IMS_PER_BATCH = 2
+
+    ds = SyntheticDataset(n=4, num_classes=3)
+    model = build_model(cfg)
+    it = build_dataloader(cfg, ds, training=False)
+    batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in it]
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+    metrics = evaluate(cfg, model, variables, ds, iter(batches))
+    assert "bbox/AP" in metrics and np.isfinite(metrics["bbox/AP"]), metrics
