@@ -265,6 +265,9 @@ _C.MODEL.ANCHOR_GENERATOR.NAME = "DefaultAnchorGenerator"
 # broadcasts over all levels.
 _C.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64, 128, 256, 512]]
 _C.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+# Rotated-anchor angles: upstream-D2 schema compat only. Neither the
+# reference nor this framework implements rotated boxes (no consumer of the
+# key exists in reference lib/ either).
 _C.MODEL.ANCHOR_GENERATOR.ANGLES = [[-90, 0, 90]]
 
 _C.MODEL.RPN = CN()
@@ -508,5 +511,7 @@ _C.PARALLEL.COORDINATOR = ""
 _C.PARALLEL.NUM_PROCESSES = 0
 _C.PARALLEL.PROCESS_ID = -1
 
+# Upstream-D2 schema escape hatch, kept so zoo YAMLs that poke it still
+# merge; intentionally read by nothing.
 _C.GLOBAL = CN()
 _C.GLOBAL.HACK = 1.0

@@ -20,6 +20,19 @@ def finalize(cfg, training: bool = True):
         cfg.SOLVER.NUM_GPUS = num_devices  # reference name; means devices here
         cfg.SOLVER.IMS_PER_BATCH = cfg.SOLVER.IMS_PER_GPU * num_devices
 
+        # Static pad buckets stand in for the reference's dynamic
+        # size-divisibility padding (image_list.py:89-99): every bucket must
+        # itself satisfy INPUT.SIZE_DIVISIBILITY or backbone strides would
+        # produce misaligned feature shapes.
+        d = cfg.INPUT.SIZE_DIVISIBILITY
+        if d > 1:
+            for bh, bw in cfg.INPUT.PAD_BUCKETS:
+                if bh % d or bw % d:
+                    raise ValueError(
+                        f"INPUT.PAD_BUCKETS entry ({bh}, {bw}) is not "
+                        f"divisible by INPUT.SIZE_DIVISIBILITY={d}"
+                    )
+
         cat_map = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.CATEGORY_MAP_NAME)
         if os.path.isfile(cat_map):
             with open(cat_map) as f:

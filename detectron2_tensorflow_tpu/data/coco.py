@@ -94,7 +94,13 @@ class CocoDataset:
         image_root: str,
         load_masks: bool = True,
         filter_empty: bool = True,
+        min_keypoints: int = 0,
     ):
+        """``min_keypoints``: drop images whose annotations carry fewer than
+        this many labeled keypoints in total (v > 0) — the upstream-D2
+        keypoint-training filter behind
+        MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE (the reference
+        defines the key at lib/config/defaults.py but never consumes it)."""
         with open(annotation_file) as f:
             coco = json.load(f)
         self.image_root = image_root
@@ -115,6 +121,14 @@ class CocoDataset:
             anns = anns_by_image.get(img["id"], [])
             if filter_empty and not anns:
                 continue
+            if min_keypoints > 0:
+                num_kp = sum(
+                    int(np.asarray(a["keypoints"][2::3]).astype(bool).sum())
+                    for a in anns
+                    if "keypoints" in a
+                )
+                if num_kp < min_keypoints:
+                    continue
             self.images.append((img, anns))
 
     def set_proposals(self, path: str) -> None:

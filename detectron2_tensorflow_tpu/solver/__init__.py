@@ -29,10 +29,16 @@ def scaled_max_iter(cfg) -> int:
 
 
 def build_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """WarmupMultiStepLR: linear warmup then gamma decays at STEPS."""
+    """SOLVER.LR_SCHEDULER_NAME dispatch: WarmupMultiStepLR (linear warmup,
+    gamma decays at STEPS) or WarmupCosineLR (the other upstream-Detectron2
+    scheduler; the reference defines the key but never consumes it)."""
+    name = cfg.SOLVER.LR_SCHEDULER_NAME
+    if name not in ("WarmupMultiStepLR", "WarmupCosineLR"):
+        raise ValueError(f"unknown SOLVER.LR_SCHEDULER_NAME: {name!r}")
     scale = lr_scale(cfg)
     base_lr = cfg.SOLVER.BASE_LR * scale
     steps = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
+    max_iter = scaled_max_iter(cfg)
     gamma = cfg.SOLVER.GAMMA
     warmup_iters = cfg.SOLVER.WARMUP_ITERS
     warmup_factor = cfg.SOLVER.WARMUP_FACTOR
@@ -47,9 +53,15 @@ def build_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
             warm = jnp.where(
                 step < warmup_iters, warmup_factor * (1 - alpha) + alpha, 1.0
             )
-        decay = jnp.asarray(1.0)
-        for s in steps:
-            decay = decay * jnp.where(step >= s, gamma, 1.0)
+        if name == "WarmupCosineLR":
+            # Upstream D2 WarmupCosineLR: 0.5 * (1 + cos(pi * t / T)) over
+            # the full schedule (warmup multiplies on top, as multistep).
+            frac = jnp.clip(step / max(max_iter, 1), 0.0, 1.0)
+            decay = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        else:
+            decay = jnp.asarray(1.0)
+            for s in steps:
+                decay = decay * jnp.where(step >= s, gamma, 1.0)
         return base_lr * warm * decay
 
     return schedule

@@ -228,3 +228,70 @@ def test_crop_shifts_and_filters_keypoints():
         kp = out3["keypoints"][0]
         outside = (s["keypoints"][0, :, 0] >= 20) | (s["keypoints"][0, :, 1] >= 20)
         assert (kp[outside, 2] == 0).all()
+
+
+def _tiny_coco_json(tmp_path, kp_counts):
+    """One image per entry of ``kp_counts``; entry = labeled keypoints."""
+    import json
+
+    images, anns = [], []
+    for i, nkp in enumerate(kp_counts):
+        images.append(
+            {"id": i, "file_name": f"{i}.jpg", "height": 40, "width": 60}
+        )
+        kp = []
+        for k in range(17):
+            kp += [10.0 + k, 12.0 + k, 2.0 if k < nkp else 0.0]
+        anns.append(
+            {
+                "id": i + 1,
+                "image_id": i,
+                "category_id": 1,
+                "bbox": [5.0, 5.0, 20.0, 20.0],
+                "area": 400.0,
+                "iscrowd": 0,
+                "keypoints": kp,
+                "num_keypoints": nkp,
+            }
+        )
+    path = tmp_path / "kp.json"
+    path.write_text(
+        json.dumps(
+            {
+                "images": images,
+                "annotations": anns,
+                "categories": [{"id": 1, "name": "person"}],
+            }
+        )
+    )
+    return str(path)
+
+
+def test_min_keypoints_filter(tmp_path):
+    """MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE semantics: drop
+    training images with fewer labeled (v>0) keypoints than the minimum
+    (upstream-D2 filter; the reference defines the key but never reads it)."""
+    from detectron2_tensorflow_tpu.data.coco import CocoDataset
+
+    ann = _tiny_coco_json(tmp_path, kp_counts=[0, 1, 5, 17])
+    assert len(CocoDataset(ann, str(tmp_path), load_masks=False)) == 4
+    assert (
+        len(CocoDataset(ann, str(tmp_path), load_masks=False, min_keypoints=1))
+        == 3
+    )
+    ds = CocoDataset(ann, str(tmp_path), load_masks=False, min_keypoints=2)
+    assert len(ds) == 2
+    # The survivors are the 5- and 17-keypoint images, in order.
+    assert [int(img["id"]) for img, _ in ds.images] == [2, 3]
+
+
+def test_pad_buckets_must_match_size_divisibility():
+    import pytest
+
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.config.finalize import finalize
+
+    cfg = get_cfg()
+    cfg.INPUT.PAD_BUCKETS = ((800, 1340),)  # 1340 % 32 != 0
+    with pytest.raises(ValueError, match="SIZE_DIVISIBILITY"):
+        finalize(cfg, training=False)

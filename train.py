@@ -48,7 +48,14 @@ def main():
 
     ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".json")
     img_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN)
-    dataset = CocoDataset(ann, img_root, load_masks=cfg.MODEL.MASK_ON)
+    dataset = CocoDataset(
+        ann, img_root, load_masks=cfg.MODEL.MASK_ON,
+        min_keypoints=(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE
+            if cfg.MODEL.KEYPOINT_ON
+            else 0
+        ),
+    )
     if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN:
         dataset.set_proposals(
             os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.PROPOSAL_FILES_TRAIN[0])
