@@ -326,6 +326,13 @@ _C.MODEL.ROI_BOX_RELATION_HEAD = CN()
 _C.MODEL.ROI_BOX_RELATION_HEAD.NUM_GROUPS = 16
 _C.MODEL.ROI_BOX_RELATION_HEAD.KEY_DIM = 64
 _C.MODEL.ROI_BOX_RELATION_HEAD.GEOMETRY_EMBEDDING_DIM = 64
+# Learned duplicate removal (Relation Networks' NMS-free inference). The
+# reference defines the three tuning keys below but contains no consumer
+# (its relation_module.compute_rank_embeddings cannot even run — undefined
+# var); here DUPLICATE_REMOVAL_ON (TPU addition) enables the full stage:
+# a rank-embedded relation classifier whose sigmoid multiplies the class
+# score, trained with one-positive-per-GT BCE at DUPLICATE_REMOVAL_IOU.
+_C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_ON = False
 _C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOU = 0.5
 _C.MODEL.ROI_BOX_RELATION_HEAD.RANK_EMBEDDING_DIM = 128
 _C.MODEL.ROI_BOX_RELATION_HEAD.NMS_NUM_GROUP = 16

@@ -56,6 +56,10 @@ class GeneralizedRCNNModule(nn.Module):
     keypoint_head: Optional[nn.Module] = None
     sem_seg_head: Optional[nn.Module] = None
     box_head_takes_boxes: bool = False  # RelationBoxHead needs ROI geometry
+    # Learned NMS (Relation Networks duplicate removal; consumes the
+    # reference's orphan ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOU /
+    # RANK_EMBEDDING_DIM / NMS_NUM_GROUP keys).
+    duplicate_removal: Optional[nn.Module] = None
 
     def compute_features(self, images, train: bool = False):
         return self.neck(self.backbone(images, train=train), train=train)
@@ -73,10 +77,17 @@ class GeneralizedRCNNModule(nn.Module):
             return scores, deltas, feats
         if self.box_head_takes_boxes:
             x = self.box_heads[stage](pooled, boxes, boxes_valid, train=train)
-        else:
-            x = self.box_heads[stage](pooled, train=train)
+            scores, deltas = self.box_predictors[stage](x, train=train)
+            # Appearance features feed the duplicate-removal stage.
+            return scores, deltas, x
+        x = self.box_heads[stage](pooled, train=train)
         scores, deltas = self.box_predictors[stage](x, train=train)
         return scores, deltas, None
+
+    def dup_removal(self, appearance, scores, boxes, valid):
+        """Keep logits [B, N] for score-sorted candidates (learned NMS)."""
+        assert self.duplicate_removal is not None
+        return self.duplicate_removal(appearance, scores, boxes, valid)
 
     def mask(self, pooled, train: bool = False):
         assert self.mask_head is not None
@@ -113,6 +124,13 @@ class GeneralizedRCNNModule(nn.Module):
                         boxes=dummy_boxes, boxes_valid=dummy_valid,
                     )
                 )
+            if self.duplicate_removal is not None:
+                app = outs[-1][2].reshape(n_dummy, 1, -1)
+                outs.append(
+                    self.dup_removal(
+                        app, jnp.ones((n_dummy, 1)), dummy_boxes, dummy_valid
+                    )
+                )
             if self.mask_head is not None and mask_pooled is not None:
                 outs.append(self.mask(mask_pooled, train=train))
         if self.keypoint_head is not None and mask_pooled is not None:
@@ -138,12 +156,16 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
     res5 = None
     mask_head = None
     keypoint_head = None
+    duplicate_removal = None
     num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
     if with_roi:
         roi_name = cfg.MODEL.ROI_HEADS.NAME
         bh = cfg.MODEL.ROI_BOX_HEAD
         if roi_name == "RelationROIHeads":
-            from ..roi_heads.relation import RelationBoxHead
+            from ..roi_heads.relation import (
+                DuplicateRemovalModule,
+                RelationBoxHead,
+            )
 
             rel = cfg.MODEL.ROI_BOX_RELATION_HEAD
             roi_driver = StandardROIHeads(cfg, neck_shapes)
@@ -156,6 +178,14 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
                     dtype=dtype, name="box_head",
                 ),
             )
+            if rel.DUPLICATE_REMOVAL_ON:
+                duplicate_removal = DuplicateRemovalModule(
+                    num_groups=rel.NMS_NUM_GROUP,
+                    key_dim=rel.KEY_DIM,
+                    geometry_dim=rel.GEOMETRY_EMBEDDING_DIM,
+                    rank_dim=rel.RANK_EMBEDDING_DIM,
+                    dtype=dtype, name="duplicate_removal",
+                )
             box_predictors = (
                 FastRCNNOutputLayers(
                     num_classes=num_classes,
@@ -250,6 +280,7 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
         box_head_takes_boxes=(
             with_roi and cfg.MODEL.ROI_HEADS.NAME == "RelationROIHeads"
         ),
+        duplicate_removal=duplicate_removal,
     )
     return module, rpn_driver, roi_driver, neck_shapes, dtype
 
@@ -279,6 +310,10 @@ class _RCNNDrivers:
         # (MODEL.LOAD_PROPOSALS; the reference defines the key at
         # defaults.py:68 but never consumes it — implemented here).
         self.load_proposals = cfg.MODEL.LOAD_PROPOSALS
+        # Learned duplicate removal (relation networks): replaces NMS at
+        # inference and adds a BCE loss in training.
+        self.dup_on = module.duplicate_removal is not None
+        self.dup_iou = cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOU
         self.num_stages = roi_driver.num_stages if self.is_cascade else 1
         self.with_sem_seg = with_sem_seg
         self.sem_seg_ignore = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE
@@ -325,6 +360,86 @@ class _RCNNDrivers:
             method="box", **kwargs,
         )
         return scores.astype(jnp.float32), deltas.astype(jnp.float32), roi_feats
+
+    # -- learned duplicate removal (Relation Networks, Hu et al. 2018) ---------
+    def _dup_candidates(self, scores, ds, boxes, valid, image_sizes, topk):
+        from ..roi_heads.relation import build_duplicate_removal_candidates
+
+        b, p = boxes.shape[:2]
+        return build_duplicate_removal_candidates(
+            scores.reshape(b, p, -1), ds.reshape(b, p, -1), boxes, valid,
+            image_sizes, self.roi.box2box, self.roi.num_classes,
+            self.roi.cls_agnostic_bbox_reg, topk,
+        )
+
+    @staticmethod
+    def _gather_appearance(appearance, idx, b, p):
+        app = appearance.reshape(b, p, -1)
+        return jnp.take_along_axis(app, idx[..., None], axis=1)
+
+    def dup_removal_inference(
+        self, variables, scores, ds, proposals, appearance, image_sizes
+    ) -> Instances:
+        """Learned NMS: final score = cls score * sigmoid(keep logit), then
+        a plain top-k — no greedy suppression anywhere."""
+        b, p = proposals.proposal_boxes.shape[:2]
+        topk = min(p, 4 * self.roi.detections_per_image)
+        cs, cc, cb, cv, idx = self._dup_candidates(
+            scores, ds, proposals.proposal_boxes, proposals.is_valid,
+            image_sizes, topk,
+        )
+        app = self._gather_appearance(appearance, idx, b, p)
+        keep = self.module.apply(
+            variables, app, cs, cb, cv, method="dup_removal"
+        ).astype(jnp.float32)
+        final = cs * jax.nn.sigmoid(keep)
+        final = jnp.where(cv & (cs > self.roi.score_thresh), final, 0.0)
+        d = self.roi.detections_per_image
+        det_scores, di = jax.lax.top_k(final, min(d, topk))
+        det_boxes = jnp.take_along_axis(cb, di[..., None], axis=1)
+        det_classes = jnp.take_along_axis(cc, di, axis=1)
+        if topk < d:  # tiny-capacity configs: pad to the fixed contract
+            pad = d - topk
+            det_scores = jnp.pad(det_scores, ((0, 0), (0, pad)))
+            det_boxes = jnp.pad(det_boxes, ((0, 0), (0, pad), (0, 0)))
+            det_classes = jnp.pad(det_classes, ((0, 0), (0, pad)))
+        det_valid = det_scores > 0
+        return Instances(
+            boxes=jnp.where(det_valid[..., None], det_boxes, 0.0),
+            scores=jnp.where(det_valid, det_scores, 0.0),
+            pred_classes=jnp.where(det_valid, det_classes, -1),
+            is_valid=det_valid,
+        )
+
+    def dup_removal_loss(
+        self, variables, tape, scores, ds, appearance, sampled, batch,
+        image_sizes,
+    ) -> jnp.ndarray:
+        """BCE on the multiplied score against one-positive-per-GT targets
+        at IoU >= DUPLICATE_REMOVAL_IOU (the paper's training rule)."""
+        from ..roi_heads.relation import duplicate_removal_targets
+
+        b, s = sampled.boxes.shape[:2]
+        cs, cc, cb, cv, idx = self._dup_candidates(
+            scores, ds, sampled.boxes, sampled.valid, image_sizes, s
+        )
+        app = self._gather_appearance(appearance, idx, b, s)
+        keep = tape.apply(
+            self.module, variables, app, cs, cb, cv, method="dup_removal"
+        ).astype(jnp.float32)
+        final = cs * jax.nn.sigmoid(keep)
+        gt_valid = batch["gt_valid"]
+        if "gt_is_crowd" in batch:  # optional field (crowds never anchor)
+            gt_valid = gt_valid & ~batch["gt_is_crowd"]
+        targets = jax.vmap(
+            lambda cbx, ccl, csc, cvl, gb, gc, gv: duplicate_removal_targets(
+                cbx, ccl, csc, cvl, gb, gc, gv, self.dup_iou
+            )
+        )(cb, cc, cs, cv, batch["gt_boxes"], batch["gt_classes"], gt_valid)
+        prob = jnp.clip(final, 1e-6, 1.0 - 1e-6)
+        bce = -(targets * jnp.log(prob) + (1 - targets) * jnp.log1p(-prob))
+        cvf = cv.astype(jnp.float32)
+        return jnp.sum(bce * cvf) / jnp.maximum(jnp.sum(cvf), 1.0)
 
     def features_only(self, variables, batch, train, tape=None):
         tape = tape or StatsTape(variables)
@@ -398,6 +513,11 @@ class _RCNNDrivers:
                 boxes_valid=sampled.valid, storage_pack=storage_pack,
             )
             inst_losses.update(self.roi.box_losses(scores, ds, sampled))
+            if self.dup_on:
+                inst_losses["loss_dup"] = self.dup_removal_loss(
+                    variables, tape, scores, ds, roi_feats, sampled, batch,
+                    image_sizes,
+                )
 
         if self.mask_on:
             m = self.roi.mask_slots
@@ -484,11 +604,18 @@ class _RCNNDrivers:
                 stage_scores, ds, boxes, proposals.is_valid, image_sizes
             )
         else:
-            scores, ds, _ = self.run_box(
+            scores, ds, app = self.run_box(
                 variables, features, proposals.proposal_boxes, 0, False,
                 boxes_valid=proposals.is_valid, storage_pack=storage_pack,
             )
-            detections = self.roi.box_inference(scores, ds, proposals, image_sizes)
+            if self.dup_on:
+                detections = self.dup_removal_inference(
+                    variables, scores, ds, proposals, app, image_sizes
+                )
+            else:
+                detections = self.roi.box_inference(
+                    scores, ds, proposals, image_sizes
+                )
 
         if self.mask_on:
             if self.is_res5:

@@ -239,3 +239,36 @@ def test_draw_keypoints_panoptic_and_eval_image():
         ["cat"],
     )
     assert out3.shape == img.shape and out3.sum() > 0
+
+
+def test_duplicate_removal_targets_one_positive_per_gt():
+    """Paper rule: per GT, the highest-scoring candidate with matching class
+    at IoU >= thresh is the single positive."""
+    from detectron2_tensorflow_tpu.models.roi_heads.relation import (
+        duplicate_removal_targets,
+    )
+
+    # Three candidates on one GT (two class-0 high-IoU, one wrong class),
+    # plus one candidate on a second GT and one invalid slot.
+    cand_boxes = jnp.array(
+        [
+            [0.0, 0.0, 10.0, 10.0],   # IoU 1.0 with gt0, class 0, score .9
+            [1.0, 0.0, 11.0, 10.0],   # IoU ~.82 with gt0, class 0, score .95
+            [0.0, 0.0, 10.0, 10.0],   # class 1 -> ineligible for gt0
+            [20.0, 20.0, 30.0, 30.0], # IoU 1.0 with gt1, class 2
+            [0.0, 0.0, 10.0, 10.0],   # invalid slot
+        ]
+    )
+    cand_classes = jnp.array([0, 0, 1, 2, 0])
+    cand_scores = jnp.array([0.9, 0.95, 0.99, 0.5, 1.0])
+    cand_valid = jnp.array([True, True, True, True, False])
+    gt_boxes = jnp.array([[0.0, 0.0, 10.0, 10.0], [20.0, 20.0, 30.0, 30.0]])
+    gt_classes = jnp.array([0, 2])
+    gt_valid = jnp.array([True, True])
+    t = duplicate_removal_targets(
+        cand_boxes, cand_classes, cand_scores, cand_valid,
+        gt_boxes, gt_classes, gt_valid, 0.5,
+    )
+    # Candidate 1 wins gt0 (higher score), candidate 3 wins gt1; the
+    # wrong-class and invalid candidates stay negative.
+    np.testing.assert_array_equal(np.asarray(t), [0.0, 1.0, 0.0, 1.0, 0.0])

@@ -124,3 +124,27 @@ def test_panoptic_fpn_with_fusion():
     pan_map, info = jax.jit(lambda o: panoptic_fusion(cfg, o))(out)
     assert pan_map.shape == (1, 64, 64)
     assert info["category_id"].shape[0] == 1
+
+
+def test_relation_rcnn_with_learned_duplicate_removal():
+    """RelationROIHeads + DUPLICATE_REMOVAL_ON: NMS-free inference (score =
+    cls score * sigmoid(keep logit)) and the one-positive-per-GT BCE loss.
+    Consumes the reference's orphan DUPLICATE_REMOVAL_IOU /
+    RANK_EMBEDDING_DIM / NMS_NUM_GROUP keys."""
+    cfg = _small_common(get_cfg())
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.ROI_HEADS.NAME = "RelationROIHeads"
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_ON = True
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.NUM_GROUPS = 4
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.NMS_NUM_GROUP = 4
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.KEY_DIM = 16
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.RANK_EMBEDDING_DIM = 32
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 64
+    out, losses = _run(cfg)
+    assert "loss_dup" in losses and np.isfinite(float(losses["loss_dup"]))
+    assert out.boxes.shape == (1, 5, 4)
+    # Valid detections carry positive multiplied scores and real classes.
+    v = np.asarray(out.is_valid[0])
+    assert (np.asarray(out.scores[0])[v] > 0).all()
+    assert (np.asarray(out.pred_classes[0])[~v] == -1).all()
