@@ -34,6 +34,11 @@ def train_cfg(batch_size: int = 8, remat: bool = False):
     cfg.MODEL.NECK.IN_FEATURES = ["res2", "res3", "res4", "res5"]
     cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
     cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    # FPN RPN budgets (configs/Base-RCNN-FPN.yaml; same as upstream D2's
+    # FPN configs, i.e. the workload the V100 baseline measures). Without
+    # these the schema defaults are the C4-style 12000/2000 PER LEVEL.
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
     cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
     cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
     cfg.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"

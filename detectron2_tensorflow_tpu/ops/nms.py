@@ -24,6 +24,7 @@ fast_rcnn.py:138-146.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,25 @@ from ..structures import boxes as box_ops
 BLOCK = 128
 
 NEG_INF = -1e10
+
+
+def _pallas_enabled() -> bool:
+    """Route the keep-mask sweep to the Pallas kernel on TPU.
+
+    The XLA sweep's while loops become batched-while under vmap, whose
+    lowering pays a per-iteration full-state select per lane; the Pallas
+    kernel (ops/pallas/nms_keep.py) keeps the batch as a native grid
+    dimension. D2TPU_NMS_PALLAS=0/1 forces the path (tests, triage).
+    """
+    env = os.environ.get("D2TPU_NMS_PALLAS", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # backend not initialized yet
+        return False
 
 
 def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value):
@@ -93,6 +113,14 @@ def nms(
     sorted_scores, order = jax.lax.top_k(masked_scores, n)
     sorted_boxes = jnp.take(boxes, order, axis=0)
     sorted_valid = sorted_scores > NEG_INF / 2
+
+    if _pallas_enabled():
+        from .pallas.nms_keep import greedy_keep
+
+        keep = greedy_keep(
+            sorted_boxes, sorted_valid, iou_threshold, max_keep=max_keep
+        )
+        return order, keep, jnp.where(keep, sorted_scores, NEG_INF)
 
     # Pad to a BLOCK multiple with far-away boxes so padded rows never
     # interact with real ones.

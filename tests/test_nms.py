@@ -184,3 +184,37 @@ def test_nms_max_keep_prefix_shortfall_runs_exact_tail():
             early[: min(k, len(full_survivors))],
             full_survivors[: min(k, len(full_survivors))],
         )
+
+
+def test_pallas_keep_kernel_matches_xla_sweep():
+    """ops/pallas/nms_keep.py (interpret mode) must equal the XLA blocked
+    fixed-point sweep bit-for-bit — full sweep and max_keep prefix."""
+    import jax
+
+    from detectron2_tensorflow_tpu.ops.pallas.nms_keep import greedy_keep
+
+    rng = np.random.default_rng(7)
+    for n, thresh, mk in [(96, 0.5, None), (400, 0.6, None), (700, 0.5, 100)]:
+        boxes = _random_boxes(rng, n, size=200.0)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        valid = rng.uniform(0, 1, n) > 0.15
+        order, keep_ref, kept_scores = jax.jit(
+            lambda b, s, v: nms(b, s, thresh, v, max_keep=mk)
+        )(boxes, scores, valid)
+        sorted_boxes = jnp.take(jnp.asarray(boxes), order, axis=0)
+        sorted_scores = jnp.take(
+            jnp.where(jnp.asarray(valid), jnp.asarray(scores), -1e10), order
+        )
+        keep_pl = greedy_keep(
+            sorted_boxes, sorted_scores > -5e9, thresh, max_keep=mk,
+            interpret=True,
+        )
+        if mk is None:
+            np.testing.assert_array_equal(
+                np.asarray(keep_ref), np.asarray(keep_pl)
+            )
+        else:
+            # Both paths are prefix-exact: the top-mk survivors agree.
+            ref = np.asarray(order)[np.asarray(keep_ref)][:mk]
+            got = np.asarray(order)[np.asarray(keep_pl)][:mk]
+            np.testing.assert_array_equal(ref, got)
