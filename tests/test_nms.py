@@ -218,3 +218,32 @@ def test_pallas_keep_kernel_matches_xla_sweep():
             ref = np.asarray(order)[np.asarray(keep_ref)][:mk]
             got = np.asarray(order)[np.asarray(keep_pl)][:mk]
             np.testing.assert_array_equal(ref, got)
+
+
+def test_pallas_keep_kernel_chained_overlaps():
+    """Worst case for the within-block fixed point: a line of boxes where
+    each overlaps only its neighbors, so keep/suppress alternates and the
+    suppression chain spans the whole block."""
+    import jax
+
+    from detectron2_tensorflow_tpu.ops.pallas.nms_keep import greedy_keep
+
+    n = 256
+    # Box i spans [6i, 6i+10): IoU with neighbor = 4/16 = 0.25 > 0.2.
+    x0 = 6.0 * np.arange(n, dtype=np.float32)
+    boxes = np.stack([x0, np.zeros(n, np.float32), x0 + 10.0,
+                      np.full(n, 10.0, np.float32)], axis=1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)  # descending
+    valid = np.ones(n, bool)
+    order, keep_ref, _ = jax.jit(
+        lambda b, s, v: nms(b, s, 0.2, v)
+    )(boxes, scores, valid)
+    keep_pl = greedy_keep(
+        jnp.take(jnp.asarray(boxes), order, axis=0),
+        jnp.ones(n, bool), 0.2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(keep_ref), np.asarray(keep_pl))
+    # Greedy on an alternating chain keeps exactly the even positions.
+    np.testing.assert_array_equal(
+        np.asarray(keep_pl), (np.arange(n) % 2 == 0)
+    )
