@@ -206,15 +206,46 @@ class DetectionExporter:
                 input_signature=[tf.TensorSpec([], tf.string, name="encoded_image")],
                 autograph=False,
             )
+
+            # Batched encoded-images signature (the reference defines
+            # build_batched_input_placeholder at exporter/placeholder.py:9-44
+            # but never wires it): per-element decode+resize+pad via map_fn
+            # over the single-image entry; outputs stack along the batch.
+            def _one(enc):
+                out = serve_encoded(enc)
+                return {
+                    k: (v[0] if v.shape.rank and v.shape[0] == 1 else v)
+                    for k, v in out.items()
+                }
+
+            one_cf = tf.function(_one, autograph=False).get_concrete_function(
+                tf.TensorSpec([], tf.string)
+            )
+            out_sig = tf.nest.map_structure(
+                lambda t: tf.TensorSpec(t.shape, t.dtype),
+                one_cf.structured_outputs,
+            )
+            tf_enc_batch = tf.function(
+                lambda encoded_images: tf.map_fn(
+                    _one, encoded_images, fn_output_signature=out_sig
+                ),
+                input_signature=[
+                    tf.TensorSpec([None], tf.string, name="encoded_images")
+                ],
+                autograph=False,
+            )
+
             tf_module = tf.Module()
             tf_module.serve = tf_fn
             tf_module.serve_encoded = tf_enc
+            tf_module.serve_encoded_batch = tf_enc_batch
             sm_path = os.path.join(output_dir, "saved_model")
             tf.saved_model.save(
                 tf_module, sm_path,
                 signatures={
                     "serving_default": tf_fn,
                     "serving_encoded_image": tf_enc,
+                    "serving_encoded_images": tf_enc_batch,
                 },
             )
             artifacts["saved_model"] = sm_path

@@ -75,3 +75,11 @@ def test_export_artifacts_and_serving_signatures(tmp_path):
     # normalized boxes stay in [0, 1]
     b = enc["detection_boxes"].numpy()
     assert (b >= -1e-5).all() and (b <= 1 + 1e-5).all()
+
+    # Batched encoded-images signature (reference placeholder.py:9-44 —
+    # dead code there; wired here): outputs stack along the batch.
+    enc2 = sm.serve_encoded_batch(tf.constant([png, png]))
+    assert enc2["detection_boxes"].shape == (2, 5, 4)
+    np.testing.assert_allclose(
+        enc2["detection_boxes"].numpy()[0], b[0], atol=1e-6
+    )
