@@ -520,19 +520,13 @@ class ROIPooler:
 
     def __call__(self, features: List[jnp.ndarray], boxes: jnp.ndarray,
                  valid: jnp.ndarray | None = None) -> jnp.ndarray:
-        """features: per-level [Hl, Wl, C] (single image); boxes [N, 4]."""
-        if len(features) == 1:
-            from ..ops.roi_align import roi_align
+        """features: per-level [Hl, Wl, C] (single image); boxes [N, 4].
 
-            # Single-level (C4/DC5) path: a plain XLA gather — no per-ROI
-            # DMA issue cost to skip, so ``valid`` is intentionally unused.
-            return roi_align(
-                features[0],
-                boxes,
-                1.0 / self.strides[0],
-                self.output_size,
-                self.sampling_ratio,
-                aligned=self.aligned,
-            )
+        The single-level (C4/DC5) case goes through the same storage/patch
+        path: the old exact-XLA ``ops.roi_align`` fallback lowered to a
+        vmapped-while gather that materialized a [B, H*W, C] f32 temp PER
+        SELECT — 6.1 GB at the C4 serving shape (batch 8, res4 1024ch),
+        an instant HBM OOM on v5e. Boxes whose span fits the patch pool
+        exactly; longer ones use the 2x/4x extent-tier aliases."""
         storage, meta = self.build_storage(features)
         return self.pool(storage, meta, boxes, valid)

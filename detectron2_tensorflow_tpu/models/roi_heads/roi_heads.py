@@ -146,10 +146,10 @@ class StandardROIHeads:
         box / mask / keypoint poolers share identical layouts, so the row
         concatenation and avgpool extent-tier aliases are computed a single
         time instead of once per pooler. Returns (storage [B, Htot, Wm, C],
-        meta) or None for the single-level (C4/DC5) path."""
+        meta); single-level (C4/DC5) builds a one-level plane + extent-tier
+        aliases (the exact-XLA roi_align fallback OOMed at serving shapes —
+        see ROIPooler.__call__)."""
         feats = [features[f] for f in self.in_features]
-        if len(feats) == 1:
-            return None
         meta_box = [None]
 
         def one(per_image_feats):
@@ -162,7 +162,7 @@ class StandardROIHeads:
 
     def _pool(self, pooler, features: Dict, boxes, storage_pack, valid=None):
         feats = [features[f] for f in self.in_features]
-        if storage_pack is None or len(feats) == 1:
+        if storage_pack is None:
             if valid is None:
                 pooled = jax.vmap(
                     lambda per_image_feats, b: pooler(per_image_feats, b)

@@ -81,6 +81,19 @@ def skip_tier_class(p):
 
 
 FWD_GROUP = 4  # ROIs interpolated per forward grid step
+
+
+def _vmem_group(base: int, p: int, c: int, itemsize: int,
+                buffers: int = 2, budget: int = 10 * 1024 * 1024) -> int:
+    """Cap the per-step ROI group so its patch buffers fit VMEM.
+
+    The scratch holds ``buffers`` planes of [p, p*c] per group member.
+    At the FPN serving channels (C=256 bf16) the cap is inactive (group
+    stays at ``base``); C4/DC5 pool 1024-channel res4 features whose 2MB
+    patches blow the scoped-vmem budget at group 4.
+    """
+    member = buffers * p * p * c * itemsize
+    return max(1, min(base, budget // max(member, 1)))
 # Measured on v5e at the production box-pooler shape (B=16, N=1000, P=32,
 # C=256, S=7), per ROI slot. The forward is bound by per-member VMEM
 # consumption + fixed sequencing, NOT by the HBM DMA:
@@ -400,7 +413,8 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
         out_shape = (1,) + tuple(out_shape)
     bsz, n, s, p = wy.shape
     c = out_shape[-1]
-    group = BWD_GROUP
+    # f32 read + write-back slots per member (see scratch_shapes below).
+    group = _vmem_group(BWD_GROUP, p, c, 4, buffers=2)
     m = -(-n // group) * group
     pad = m - n
 
@@ -532,7 +546,7 @@ def roi_patch_interpolate(
         stacked, starts, wy, wx = (x[None] for x in (stacked, starts, wy, wx))
     bsz, n, s, p = wy.shape
     c = stacked.shape[-1]
-    group = FWD_GROUP
+    group = _vmem_group(FWD_GROUP, p, c, stacked.dtype.itemsize, buffers=2)
     m = -(-n // group) * group
     if m != n:
         # Pad with sentinel-classed dummies (no DMA issued, zero output);
@@ -582,11 +596,16 @@ def roi_patch_interpolate(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, m, s, s, c), stacked.dtype),
         compiler_params=pltpu.CompilerParams(
+            # Mosaic's scoped-stack accounting carries a large group-
+            # independent term beyond the declared scratch (measured at the
+            # C4 shape, C=1024: actual 14.9M at group 2 / 18.1M at group 3
+            # vs ~9M/13M of declared buffers) — budget a fixed 10MB of
+            # headroom on top of the padded buffer estimate.
             vmem_limit_bytes=int(
-                1.2 * (2 * group * p * p * c + 2 * group * s * p
-                       + group * s * s * c)
+                1.35 * (2 * group * p * p * c + 2 * group * s * p
+                        + group * s * s * c)
                 * stacked.dtype.itemsize
-                + 2 * 1024 * 1024
+                + 10 * 1024 * 1024
             ),
         ),
         interpret=interpret,

@@ -69,6 +69,7 @@ def maskrcnn_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_convert_covers_every_model_param():
     rng = np.random.default_rng(0)
     sd = synth_d2_maskrcnn_r50_fpn_state(rng)

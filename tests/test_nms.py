@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,6 +130,7 @@ def test_spatial_top_k_matches_flat_top_k():
         )
 
 
+@pytest.mark.slow
 def test_nms_max_keep_early_exit_matches_full_sweep():
     """nms(max_keep=k) stops the block sweep at k survivors; its top-k
     survivors must equal the full sweep's (greedy prefix property)."""

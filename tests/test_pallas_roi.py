@@ -1,5 +1,6 @@
 """Pallas ROI kernel correctness in interpret mode (runs on CPU)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,7 @@ def _boxes(rng, n=16, w=384, h=256):
     ).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_pallas_kernel_matches_xla_path_interpret():
     rng = np.random.default_rng(0)
     feats = [
@@ -100,6 +102,7 @@ def _manual_scatter(shape, starts, g, wy, wx, p):
     return want
 
 
+@pytest.mark.slow
 def test_pallas_backward_matches_manual_scatter_interpret():
     """Random ROIs: the grouped kernel's sort/deal reordering and padding
     must accumulate exactly (order-independence of the sum)."""
@@ -126,6 +129,7 @@ def test_pallas_backward_matches_manual_scatter_interpret():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_backward_all_overlapping_rois_interpret():
     """Every ROI hits the SAME region — group members collide, the hazard
     flag must serialize the read-after-write chain exactly."""
@@ -150,6 +154,7 @@ def test_pallas_backward_all_overlapping_rois_interpret():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_backward_disjoint_rois_grouped_interpret():
     """Fully disjoint ROIs take the concurrent group path; each region must
     hold exactly its own gradient."""
@@ -224,6 +229,7 @@ def test_avgpool2x_custom_vjp_matches_autodiff():
         )
 
 
+@pytest.mark.slow
 def test_batched_pool_matches_per_image_interpret():
     """The native-batch kernel path must equal per-image pooling."""
     from detectron2_tensorflow_tpu.models.poolers import (
@@ -255,6 +261,7 @@ def test_batched_pool_matches_per_image_interpret():
         )
 
 
+@pytest.mark.slow
 def test_batched_backward_matches_sum_of_single_interpret():
     from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
         full_tier_class,
@@ -283,6 +290,7 @@ def test_batched_backward_matches_sum_of_single_interpret():
         )
 
 
+@pytest.mark.slow
 def test_backward_with_narrowed_plan_classes_interpret():
     """Backward with REAL plan_rois window classes (narrow row/col tiers):
     every nonzero hat weight must fall inside the narrowed RMW window, so
@@ -398,3 +406,32 @@ def test_valid_skip_gradients_match_unskipped():
     np.testing.assert_allclose(
         np.asarray(g_new), np.asarray(g_ref), atol=1e-5, rtol=1e-5
     )
+
+
+def test_single_level_pooler_matches_exact_roi_align():
+    """C4/DC5 path: ROIPooler on ONE level must reproduce the exact-XLA
+    roi_align for boxes whose sample span fits the patch (the old
+    fallback — removed because its vmapped gather materialized a
+    [B, H*W, C] f32 temp, 6.1 GB at the C4 serving shape)."""
+    from detectron2_tensorflow_tpu.models.poolers import ROIPooler
+    from detectron2_tensorflow_tpu.ops.roi_align import roi_align
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((25, 42, 16)).astype(np.float32))
+    stride = 16
+    # Spans well inside the planned patch at stride 16.
+    boxes = jnp.asarray(
+        [
+            [10.0, 12.0, 200.0, 150.0],
+            [0.0, 0.0, 60.0, 60.0],
+            [300.0, 100.0, 640.0, 380.0],
+        ],
+        jnp.float32,
+    )
+    pooler = ROIPooler(
+        7, [stride], sampling_ratio=2, max_image_size=672,
+    )
+    got = pooler([feat], boxes)
+    want = roi_align(feat, boxes, 1.0 / stride, 7, 2, aligned=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -95,6 +95,7 @@ def test_caffe2_backbone_convert():
     np.testing.assert_allclose(fbn["var"] + 1e-5, 1.0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_torchvision_backbone_convert():
     import jax
     import jax.numpy as jnp
