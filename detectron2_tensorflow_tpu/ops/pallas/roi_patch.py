@@ -491,7 +491,18 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         input_output_aliases={4: 0},  # zeros input (after scalar prefetch)
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # Same fixed-headroom rule as the forward: Mosaic's default
+            # scoped limit (~19.5M) is exceeded at the C4 shape (C=1024
+            # read+write f32 slots measured 20.2M at group 1).
+            vmem_limit_bytes=int(
+                1.35 * (2 * group * p * p * c * 4
+                        + 2 * group * s * s * c * g.dtype.itemsize
+                        + 4 * group * s * p * 4)
+                + 10 * 1024 * 1024
+            ),
+        ),
         interpret=interpret,
     )(starts4, g, wy, wx, zeros)
     return out[0] if squeeze else out

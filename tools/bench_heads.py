@@ -25,6 +25,7 @@ HEADS = {
     "solov2": ("configs/COCO-InstanceSegmentation/solo_v2_R_50_FPN_1x.yaml", (800, 1344), 8),
     "yolov4": ("configs/COCO-Detection/yolov4_D_53_PAN_1x.yaml", (608, 608), 8),
     "c4": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_C4_1x.yaml", (800, 1344), 8),
+    "dc5": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_DC5_1x.yaml", (800, 1344), 8),
 }
 
 
