@@ -114,6 +114,7 @@ def fast_rcnn_inference(
             cand_boxes, top_scores, cls, nms_thresh,
             detections_per_image, valid=cand_valid,
             class_agnostic=nms_class_agnostic,
+            presorted=True,  # flat-top_k output is descending
         )
         return Instances(
             boxes=out_boxes,

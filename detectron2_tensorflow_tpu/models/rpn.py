@@ -211,6 +211,7 @@ class RPN:
                 nb, ns, _, nv = nms_fixed(
                     boxes, top_scores, self.nms_thresh,
                     min(post_k, k), valid=valid,
+                    presorted=True,  # spatial_top_k output is descending
                 )
                 cand_boxes.append(nb)
                 cand_scores.append(ns)

@@ -250,6 +250,7 @@ class YOLOv4:
             ob, os_, oi, ov = nms_fixed(
                 top_boxes, top_scores, self.nms_thresh,
                 self.detections_per_image, valid=valid,
+                presorted=True,  # top_k output is descending
             )
             return Instances(
                 boxes=ob,

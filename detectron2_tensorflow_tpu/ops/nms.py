@@ -71,6 +71,7 @@ def nms(
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
     max_keep: int | None = None,
+    presorted: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact greedy NMS over ``[N, 4]`` boxes.
 
@@ -103,15 +104,28 @@ def nms(
 
     RPN at train (N=12000, keep 2000) typically stops after 1-2 stages of
     32 blocks x 4096/8192 columns instead of 94 blocks x 12032.
+
+    ``presorted``: the caller guarantees ``scores`` are already descending
+    over the VALID entries (the universal case in this framework — every
+    call site feeds the output of a prior ``top_k``). Skips the internal
+    O(N log N) sort; invalid entries may interleave freely (they neither
+    keep nor suppress, and greedy decisions depend only on the relative
+    order of valid candidates). With equal scores the stable sort would
+    preserve input order, so results are bit-identical to presorted=False.
     """
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
     masked_scores = jnp.where(valid, scores, NEG_INF)
 
-    # Stable sort by descending score (top_k is stable in XLA).
-    sorted_scores, order = jax.lax.top_k(masked_scores, n)
-    sorted_boxes = jnp.take(boxes, order, axis=0)
+    if presorted:
+        order = jnp.arange(n)
+        sorted_scores = masked_scores
+        sorted_boxes = boxes
+    else:
+        # Stable sort by descending score (top_k is stable in XLA).
+        sorted_scores, order = jax.lax.top_k(masked_scores, n)
+        sorted_boxes = jnp.take(boxes, order, axis=0)
     sorted_valid = sorted_scores > NEG_INF / 2
 
     if _pallas_enabled():
@@ -242,6 +256,7 @@ def nms_fixed(
     iou_threshold: float,
     max_outputs: int,
     valid: jnp.ndarray | None = None,
+    presorted: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS with a fixed-size result: top ``max_outputs`` surviving boxes.
 
@@ -255,7 +270,8 @@ def nms_fixed(
     # early-exit benefit without running the whole sweep as a vmapped
     # while_loop (which lowered pathologically: train 37 -> 22 img/s).
     order, keep, kept_scores = nms(
-        boxes, scores, iou_threshold, valid, max_keep=max_outputs
+        boxes, scores, iou_threshold, valid, max_keep=max_outputs,
+        presorted=presorted,
     )
     k = min(max_outputs, boxes.shape[0])
     top_scores, top_pos = jax.lax.top_k(kept_scores, k)
@@ -279,6 +295,7 @@ def class_aware_nms(
     max_outputs: int,
     valid: jnp.ndarray | None = None,
     class_agnostic: bool = False,
+    presorted: bool = False,
 ):
     """Per-class NMS via the coordinate-offset trick.
 
@@ -287,12 +304,16 @@ def class_aware_nms(
     fast_rcnn.py:138-146). Returns the same tuple as :func:`nms_fixed`.
     """
     if class_agnostic:
-        return nms_fixed(boxes, scores, iou_threshold, max_outputs, valid)
+        return nms_fixed(
+            boxes, scores, iou_threshold, max_outputs, valid,
+            presorted=presorted,
+        )
     max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
     offsets = classes.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
     _, out_scores, out_indices, out_valid = nms_fixed(
-        shifted, scores, iou_threshold, max_outputs, valid
+        shifted, scores, iou_threshold, max_outputs, valid,
+        presorted=presorted,
     )
     out_boxes = jnp.take(boxes, out_indices, axis=0)
     out_boxes = jnp.where(out_valid[:, None], out_boxes, 0.0)

@@ -249,3 +249,29 @@ def test_pallas_keep_kernel_chained_overlaps():
     np.testing.assert_array_equal(
         np.asarray(keep_pl), (np.arange(n) % 2 == 0)
     )
+
+
+def test_presorted_matches_sorted_path():
+    """presorted=True on pre-top_k'd input must reproduce the sorting
+    path's survivors exactly (keep masks indexed back to the input)."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n = 300
+    boxes = _random_boxes(rng, n, size=150.0)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.2
+    # Caller-side sort, as every production call site does.
+    ss, order = jax.lax.top_k(jnp.where(jnp.asarray(valid), scores, -1e10), n)
+    sb = jnp.take(jnp.asarray(boxes), order, axis=0)
+    sv = ss > -5e9
+    b1, s1, i1, v1 = nms_fixed(sb, ss, 0.5, 40, valid=sv, presorted=True)
+    b0, s0, i0, v0 = nms_fixed(boxes, scores, 0.5, 40, valid=valid)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+    # presorted indices point into the SORTED array; map back via order.
+    np.testing.assert_array_equal(
+        np.asarray(order)[np.asarray(i1)][np.asarray(v1)],
+        np.asarray(i0)[np.asarray(v0)],
+    )
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1))
