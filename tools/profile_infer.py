@@ -48,12 +48,32 @@ def run_trace(batch_size: int, train: bool) -> str:
             float(jax.device_get(metrics["total_loss"]))
         return logdir
 
-    from bench import bench_cfg
     from detectron2_tensorflow_tpu.models import build_model
 
-    cfg = bench_cfg()
+    import os
+
+    head = os.environ.get("PROFILE_HEAD", "")
+    if head:  # any tools/bench_heads.py head name
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_heads import HEADS
+
+        from detectron2_tensorflow_tpu.config import get_cfg
+
+        path, (h, w), _ = HEADS[head]
+        cfg = get_cfg()
+        cfg.merge_from_file(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), path))
+        cfg.MODEL.DTYPE = "bfloat16"
+        if cfg.MODEL.ROI_HEADS.NUM_CLASSES <= 0:
+            cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+        if cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES <= 0:
+            cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES = 80
+    else:
+        from bench import bench_cfg
+
+        cfg = bench_cfg()
+        h, w = 800, 1344
     model = build_model(cfg)
-    h, w = 800, 1344
     batch = {
         "image": jnp.full((batch_size, h, w, 3), 110.0, jnp.float32),
         "image_size": jnp.tile(
