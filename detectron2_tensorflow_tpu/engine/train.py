@@ -81,6 +81,12 @@ def build_train_step(cfg, model: DetectorModel, example_params, mesh=None,
     XLA's sharding propagation inserts the ICI gradient all-reduce (there
     is no explicit pmean — see parallel/__init__.py).
     """
+    from ..parallel import set_active_mesh
+
+    # Mosaic kernels wrap themselves in shard_map over this mesh's 'data'
+    # axis (GSPMD can't auto-partition custom calls); register it before
+    # the step traces.
+    set_active_mesh(mesh)
     tx = build_optimizer(cfg, example_params)
 
     def step_fn(state: TrainState, batch):

@@ -50,7 +50,11 @@ def _pallas_enabled() -> bool:
     if env == "1":
         return True
     try:
-        return jax.default_backend() == "tpu"
+        # Multi-device: GSPMD cannot auto-partition Mosaic custom calls,
+        # and this kernel sits under per-image vmap (no clean shard_map
+        # seam like the ROI kernels have) — the XLA sweep shards fine and
+        # its gap vs the kernel at FPN budgets is small.
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except RuntimeError:  # backend not initialized yet
         return False
 

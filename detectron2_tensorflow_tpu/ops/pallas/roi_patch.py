@@ -83,6 +83,37 @@ def skip_tier_class(p):
 FWD_GROUP = 4  # ROIs interpolated per forward grid step
 
 
+def _maybe_shard_map(run, in_batch_dims, out_batch_dim):
+    """Wrap a kernel launcher in shard_map over the active mesh's 'data'
+    axis, so each device runs the Mosaic kernel on its local batch shard.
+
+    GSPMD cannot auto-partition Mosaic custom calls — a multi-device jit
+    containing a bare pallas_call fails to lower ("Mosaic kernels cannot be
+    automatically partitioned", jax tpu_custom_call.py) — and the virtual-
+    CPU multichip dryrun can't surface that, because Pallas routes to XLA
+    paths off-TPU. ``in_batch_dims[i]`` names operand i's batch dimension
+    (everything else replicates, including any 'model' tensor-parallel
+    sharding, which GSPMD re-establishes outside the kernel).
+    """
+    from ...parallel import active_multidevice_mesh
+
+    mesh = active_multidevice_mesh()
+    if mesh is None:
+        return run
+    from jax.sharding import PartitionSpec as P
+
+    def spec(dim):
+        return P(*([None] * dim + ["data"]))
+
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=tuple(spec(d) for d in in_batch_dims),
+        out_specs=spec(out_batch_dim),
+        check_vma=False,
+    )
+
+
 def _vmem_group(base: int, p: int, c: int, itemsize: int,
                 buffers: int = 2, budget: int = 10 * 1024 * 1024) -> int:
     """Cap the per-step ROI group so its patch buffers fit VMEM.
@@ -469,41 +500,50 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
     )  # [4, B, m]
 
     zeros = jnp.zeros(out_shape, jnp.float32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bsz, q),
-        in_specs=[
-            pl.BlockSpec((1, group, s, s, c), lambda b, j, *_: (b, j, 0, 0, 0)),
-            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
-            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to out)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((group, p, p, c), jnp.float32),  # read slots
-            pltpu.VMEM((group, p, p, c), jnp.float32),  # write-back slots
-            pltpu.SemaphoreType.DMA((group,)),  # read sems
-            pltpu.SemaphoreType.DMA((group,)),  # write sems
-        ],
-    )
-    out = pl.pallas_call(
-        _make_bwd_kernel(group),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        input_output_aliases={4: 0},  # zeros input (after scalar prefetch)
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            # Same fixed-headroom rule as the forward: Mosaic's default
-            # scoped limit (~19.5M) is exceeded at the C4 shape (C=1024
-            # read+write f32 slots measured 20.2M at group 1).
-            vmem_limit_bytes=int(
-                1.35 * (2 * group * p * p * c * 4
-                        + 2 * group * s * s * c * g.dtype.itemsize
-                        + 4 * group * s * p * 4)
-                + 10 * 1024 * 1024
+
+    def run(starts4, g, wy, wx, zeros):
+        bsz = g.shape[0]  # LOCAL batch under shard_map
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, q),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, group, s, s, c), lambda b, j, *_: (b, j, 0, 0, 0)
+                ),
+                pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
+                pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to out)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((group, p, p, c), jnp.float32),  # read slots
+                pltpu.VMEM((group, p, p, c), jnp.float32),  # write-back slots
+                pltpu.SemaphoreType.DMA((group,)),  # read sems
+                pltpu.SemaphoreType.DMA((group,)),  # write sems
+            ],
+        )
+        return pl.pallas_call(
+            _make_bwd_kernel(group),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz,) + out_shape[1:], jnp.float32),
+            input_output_aliases={4: 0},  # zeros input (after scalar prefetch)
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # Same fixed-headroom rule as the forward: Mosaic's default
+                # scoped limit (~19.5M) is exceeded at the C4 shape (C=1024
+                # read+write f32 slots measured 20.2M at group 1).
+                vmem_limit_bytes=int(
+                    1.35 * (2 * group * p * p * c * 4
+                            + 2 * group * s * s * c * g.dtype.itemsize
+                            + 4 * group * s * p * 4)
+                    + 10 * 1024 * 1024
+                ),
             ),
-        ),
-        interpret=interpret,
+            interpret=interpret,
+        )(starts4, g, wy, wx, zeros)
+
+    out = _maybe_shard_map(
+        run, in_batch_dims=(1, 0, 0, 0, 0), out_batch_dim=0
     )(starts4, g, wy, wx, zeros)
     return out[0] if squeeze else out
 
@@ -585,41 +625,50 @@ def roi_patch_interpolate(
     # this kernel always runs native MXU precision.
     precision = jax.lax.Precision.DEFAULT
     q = m // group
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bsz, q),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # stacked stays in HBM
-            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
-            pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, group, s, s, c), lambda b, j, *_: (b, j, 0, 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, group, p, p, c), stacked.dtype),
-            pltpu.VMEM((group * s, group * p), stacked.dtype),  # block-diag wy
-            pltpu.SemaphoreType.DMA((2, group)),
-        ],
-    )
-    out = pl.pallas_call(
-        _make_kernel(group, precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, m, s, s, c), stacked.dtype),
-        compiler_params=pltpu.CompilerParams(
-            # Mosaic's scoped-stack accounting carries a large group-
-            # independent term beyond the declared scratch (measured at the
-            # C4 shape, C=1024: actual 14.9M at group 2 / 18.1M at group 3
-            # vs ~9M/13M of declared buffers) — budget a fixed 10MB of
-            # headroom on top of the padded buffer estimate.
-            vmem_limit_bytes=int(
-                1.35 * (2 * group * p * p * c + 2 * group * s * p
-                        + group * s * s * c)
-                * stacked.dtype.itemsize
-                + 10 * 1024 * 1024
+
+    def run(starts_t, stacked, wy, wx):
+        # Shapes read from the arguments: under shard_map (multi-device
+        # mesh) this body sees the LOCAL batch shard.
+        bsz = stacked.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, q),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # stacked stays in HBM
+                pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
+                pl.BlockSpec((1, group, s, p), lambda b, j, *_: (b, j, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, group, s, s, c), lambda b, j, *_: (b, j, 0, 0, 0)
             ),
-        ),
-        interpret=interpret,
+            scratch_shapes=[
+                pltpu.VMEM((2, group, p, p, c), stacked.dtype),
+                pltpu.VMEM((group * s, group * p), stacked.dtype),  # bd wy
+                pltpu.SemaphoreType.DMA((2, group)),
+            ],
+        )
+        return pl.pallas_call(
+            _make_kernel(group, precision),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, m, s, s, c), stacked.dtype),
+            compiler_params=pltpu.CompilerParams(
+                # Mosaic's scoped-stack accounting carries a large group-
+                # independent term beyond the declared scratch (measured at
+                # the C4 shape, C=1024: actual 14.9M at group 2 / 18.1M at
+                # group 3 vs ~9M/13M of declared buffers) — budget a fixed
+                # 10MB of headroom on top of the padded buffer estimate.
+                vmem_limit_bytes=int(
+                    1.35 * (2 * group * p * p * c + 2 * group * s * p
+                            + group * s * s * c)
+                    * stacked.dtype.itemsize
+                    + 10 * 1024 * 1024
+                ),
+            ),
+            interpret=interpret,
+        )(starts_t, stacked, wy, wx)
+
+    out = _maybe_shard_map(
+        run, in_batch_dims=(1, 0, 0, 0), out_batch_dim=0
     )(starts_t, stacked, wy, wx)
     out = out[:, :n]
     return out[0] if squeeze else out

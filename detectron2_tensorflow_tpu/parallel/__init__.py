@@ -61,6 +61,32 @@ def initialize_multihost(cfg=None) -> bool:
     return jax.process_count() > 1
 
 
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Record the mesh whose jitted programs will trace Pallas kernels.
+
+    GSPMD cannot auto-partition Mosaic custom calls (jax tpu_custom_call
+    raises "cannot be automatically partitioned" whenever the lowering
+    context spans more than one device) — and the CPU dryrun can't catch
+    that, because Pallas routes to XLA paths off-TPU. The ROI kernels
+    consult this to wrap their pallas_call in a shard_map over the 'data'
+    axis, so each device runs the kernel on its local batch shard; the
+    fixed-shape NMS falls back to its XLA sweep under multi-device instead.
+    """
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_multidevice_mesh() -> Optional[Mesh]:
+    """The registered mesh, or None when absent / single-device."""
+    m = _ACTIVE_MESH
+    if m is not None and m.devices.size > 1:
+        return m
+    return None
+
+
 def create_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> Mesh:
     """Build a (data, model) mesh; ``data_axis=-1`` uses all remaining devices."""
     devices = devices if devices is not None else jax.devices()

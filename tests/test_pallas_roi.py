@@ -435,3 +435,86 @@ def test_single_level_pooler_matches_exact_roi_align():
     want = roi_align(feat, boxes, 1.0 / stride, 7, 2, aligned=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_shard_map_wrap_matches_unwrapped_interpret():
+    """With a multi-device mesh registered (parallel.set_active_mesh), the
+    ROI kernels wrap their pallas_call in shard_map over 'data' — GSPMD
+    cannot auto-partition Mosaic custom calls, so a bare kernel under a
+    multi-chip jit fails to lower on real hardware (the CPU dryrun can't
+    see this: Pallas routes to XLA paths off-TPU). Interpret mode exercises
+    the shard_map plumbing on the virtual 8-CPU mesh."""
+    import jax
+
+    from detectron2_tensorflow_tpu import parallel
+    from detectron2_tensorflow_tpu.models.poolers import plan_pooling
+
+    rng = np.random.default_rng(5)
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((64 // 2**i, 96 // 2**i, 32)).astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    strides = [4, 8, 16, 32]
+    jb = jnp.asarray(_boxes(rng, n=16))
+
+    def batched(x, b=8):
+        return jnp.broadcast_to(x[None], (b,) + x.shape)
+
+    storage, starts, wy, wx = plan_pooling(
+        feats, jb, strides, 7, 2, 224, 4, 32, True
+    )
+    args = tuple(batched(x) for x in (storage, starts, wy, wx))
+    want = roi_patch_interpolate(*args, interpret=True)
+
+    mesh = parallel.create_mesh(data_axis=8, model_axis=1)
+    parallel.set_active_mesh(mesh)
+    try:
+        got = roi_patch_interpolate(*args, interpret=True)
+    finally:
+        parallel.set_active_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_shard_map_wrap_backward_matches_unwrapped_interpret():
+    """Backward (RMW) kernel under the registered mesh: shard_map over
+    'data' must reproduce the unwrapped accumulation exactly."""
+    from detectron2_tensorflow_tpu import parallel
+    from detectron2_tensorflow_tpu.models.poolers import plan_pooling
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
+        roi_patch_backward,
+    )
+
+    rng = np.random.default_rng(6)
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((64 // 2**i, 96 // 2**i, 32)).astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    strides = [4, 8, 16, 32]
+    jb = jnp.asarray(_boxes(rng, n=8))
+    storage, starts, wy, wx = plan_pooling(
+        feats, jb, strides, 7, 2, 224, 4, 32, True
+    )
+
+    b = 8
+    g = jnp.asarray(
+        rng.standard_normal((b, starts.shape[0], 7, 7, 32)).astype(np.float32)
+    )
+    args = (
+        g,
+        jnp.broadcast_to(starts[None], (b,) + starts.shape),
+        jnp.broadcast_to(wy[None], (b,) + wy.shape),
+        jnp.broadcast_to(wx[None], (b,) + wx.shape),
+    )
+    out_shape = (b,) + storage.shape
+    want = roi_patch_backward(*args, out_shape=out_shape, interpret=True)
+    mesh = parallel.create_mesh(data_axis=8, model_axis=1)
+    parallel.set_active_mesh(mesh)
+    try:
+        got = roi_patch_backward(*args, out_shape=out_shape, interpret=True)
+    finally:
+        parallel.set_active_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
