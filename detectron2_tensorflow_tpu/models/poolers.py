@@ -100,6 +100,38 @@ def _interp_weights(coords, ty, size_l, patch_size, out_size, ratio):
     return w  # [N, out, P]
 
 
+def _sample_coords(origin, extent, out_size, ratio):
+    """[N, out*ratio] uniform sample-point coords over [origin, origin+extent].
+
+    D2 places ``ratio`` samples per bin at sub-bin centers; across ``out``
+    bins that is exactly a uniform grid of out*ratio points at centers
+    (k + 0.5) / (out*ratio)."""
+    s = out_size * ratio
+    steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    return origin[:, None] + steps[None, :] * extent[:, None]
+
+
+def _adaptive_weights(origin, extent, ratio_sel, ty, size_l, patch_size,
+                      out_size, ratio_max):
+    """Per-ROI hat weights under D2's ADAPTIVE sampling rule.
+
+    D2 with sampling_ratio=0 uses ``ceil(roi_extent / out)`` samples per bin
+    per ROI (per axis). The weight matrix shape [N, out, P] is ratio-
+    independent, so each candidate ratio's weights are computed and the
+    per-ROI selection is a where() — all static shapes. ``ratio_sel`` is the
+    per-ROI selected ratio in [1, ratio_max]."""
+    w = None
+    for r in range(1, ratio_max + 1):
+        w_r = _interp_weights(
+            _sample_coords(origin, extent, out_size, r), ty, size_l,
+            patch_size, out_size, r,
+        )
+        w = w_r if w is None else jnp.where(
+            (ratio_sel == r)[:, None, None], w_r, w
+        )
+    return w
+
+
 @jax.custom_vjp
 def _avgpool2x(f: jnp.ndarray) -> jnp.ndarray:
     # reduce_window compiles ~3x faster than reshape+mean on TPU (the
@@ -213,7 +245,6 @@ def plan_rois(
     strides = meta.strides
     base_l = meta.base_l
     p = meta.patch_size
-    s = output_size * sampling_ratio
     w_max = meta.w_max
 
     heights = jnp.asarray([h for h, _ in meta.shapes], jnp.float32)
@@ -255,22 +286,54 @@ def plan_rois(
     roi_w = scaled[:, 2] - scaled[:, 0]
     roi_h = scaled[:, 3] - scaled[:, 1]
 
-    steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    ys = y0[:, None] + steps[None, :] * roi_h[:, None]  # [N, S]
-    xs = x0[:, None] + steps[None, :] * roi_w[:, None]
+    adaptive = sampling_ratio <= 0
+    if adaptive:
+        # D2 sampling_ratio=0: ceil(roi_extent / out) samples per bin, per
+        # ROI and per AXIS (the reference CUDA kernel's adaptive rule). The
+        # extent-tier routing bounds every span by (p - _EXTENT_MARGIN)
+        # cells at its storage level, so the selected ratio never exceeds
+        # ceil(bound / out) — the cap below is exact for every in-contract
+        # box and only guards degenerate inputs.
+        r_max = max(1, -(-(p - _EXTENT_MARGIN) // output_size))
+        ry = jnp.clip(jnp.ceil(roi_h / output_size), 1, r_max).astype(jnp.int32)
+        rx = jnp.clip(jnp.ceil(roi_w / output_size), 1, r_max).astype(jnp.int32)
+        ns_y = (output_size * ry).astype(jnp.float32)
+        ns_x = (output_size * rx).astype(jnp.float32)
+        first_y = y0 + 0.5 * roi_h / ns_y
+        first_x = x0 + 0.5 * roi_w / ns_x
+        max_y = jnp.maximum(first_y, y0 + roi_h - 0.5 * roi_h / ns_y)
+        max_x = jnp.maximum(first_x, x0 + roi_w - 0.5 * roi_w / ns_x)
+    else:
+        s = output_size * sampling_ratio
+        steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+        ys = y0[:, None] + steps[None, :] * roi_h[:, None]  # [N, S]
+        xs = x0[:, None] + steps[None, :] * roi_w[:, None]
+        first_y, first_x = ys[:, 0], xs[:, 0]
+        max_y, max_x = jnp.max(ys, axis=1), jnp.max(xs, axis=1)
 
     # Patch origin: floor of the first clamped sample, kept inside the
     # level (downward overreach lands in zero-weight rows, see above).
     # tx rounds DOWN to the sublane alignment so the Pallas DMA start is
     # tileable (the extra left margin is inside the patch).
     ty = jnp.clip(
-        jnp.floor(jnp.clip(ys[:, 0], 0.0, None)), 0.0, jnp.maximum(h_l - 1, 0)
+        jnp.floor(jnp.clip(first_y, 0.0, None)), 0.0, jnp.maximum(h_l - 1, 0)
     )
-    tx = jnp.clip(jnp.floor(jnp.clip(xs[:, 0], 0.0, None)), 0.0, w_max - p)
+    tx = jnp.clip(jnp.floor(jnp.clip(first_x, 0.0, None)), 0.0, w_max - p)
     tx = jnp.floor(tx / _ALIGN) * _ALIGN
 
-    wy = _interp_weights(ys, ty, h_l, p, output_size, sampling_ratio)
-    wx = _interp_weights(xs, tx, w_l, p, output_size, sampling_ratio)
+    if adaptive:
+        wy = _adaptive_weights(y0, roi_h, ry, ty, h_l, p, output_size, r_max)
+        wx = _adaptive_weights(x0, roi_w, rx, tx, w_l, p, output_size, r_max)
+        # D2's adaptive grid has ceil(extent/out) = 0 samples on a
+        # degenerate (zero-extent) axis: the bin sum is empty and the
+        # output is exactly 0 (its count clamps to 1). Either degenerate
+        # axis zeroes the whole bin, so gate both weight matrices.
+        ok = ((roi_h > 0.0) & (roi_w > 0.0))[:, None, None]
+        wy = wy * ok
+        wx = wx * ok
+    else:
+        wy = _interp_weights(ys, ty, h_l, p, output_size, sampling_ratio)
+        wx = _interp_weights(xs, tx, w_l, p, output_size, sampling_ratio)
 
     rows = jnp.take(offsets, levels) + ty.astype(jnp.int32)
 
@@ -287,9 +350,9 @@ def plan_rois(
             c = jnp.where(span <= tiers[k], k, c)
         return c
 
-    last_y = jnp.clip(jnp.max(ys, axis=1), 0.0, jnp.maximum(h_l - 1, 0.0))
+    last_y = jnp.clip(max_y, 0.0, jnp.maximum(h_l - 1, 0.0))
     span_y = jnp.floor(last_y).astype(jnp.int32) - ty.astype(jnp.int32) + 2
-    last_x = jnp.clip(jnp.max(xs, axis=1), 0.0, jnp.maximum(w_l - 1, 0.0))
+    last_x = jnp.clip(max_x, 0.0, jnp.maximum(w_l - 1, 0.0))
     span_x = jnp.floor(last_x).astype(jnp.int32) - tx.astype(jnp.int32) + 2
     n_col = len([c for c in COL_TIERS if c < p]) + 1
     cls = (
@@ -333,9 +396,10 @@ def pool_from_storage(
 
     ``valid`` ([B, N] / [N] bool, optional): invalid slots are skipped
     entirely and pooled as exact zeros (see :func:`plan_rois`).
+
+    ``sampling_ratio <= 0`` selects D2's exact adaptive rule (per-ROI,
+    per-axis ``ceil(extent / out)`` samples per bin — see plan_rois).
     """
-    if sampling_ratio <= 0:
-        sampling_ratio = 2
     batched = storage.ndim == 4
     plan = functools.partial(
         plan_rois,
@@ -439,10 +503,9 @@ def multilevel_roi_align(
 
     Returns [N, out, out, C] in the features' dtype. ``use_pallas=None``
     selects the fused Pallas kernel on TPU, the XLA path elsewhere.
+    ``sampling_ratio <= 0`` = D2's exact adaptive rule (see plan_rois).
     """
     assert len(features) == len(strides)
-    if sampling_ratio <= 0:
-        sampling_ratio = 2  # static stand-in for D2's adaptive ceil rule
     storage, meta = build_storage(features, strides, patch_size, extent_tiers)
     return pool_from_storage(
         storage, meta, boxes, output_size, sampling_ratio,

@@ -14,10 +14,12 @@ XLA program:
     with their weights;
   * a ``sampling_ratio × sampling_ratio`` mean finishes each bin.
 
-``sampling_ratio=0`` (adaptive per-ROI in D2) is statically resolved to 2 —
-the value D2's adaptive rule picks for correctly level-assigned ROIs — since
-XLA requires static shapes. ROIs are processed in chunks to bound the gather
-working set.
+``sampling_ratio=0`` is D2's ADAPTIVE rule — per ROI and per axis,
+``ceil(roi_extent / out)`` samples per bin. Static shapes still hold: the
+sample grid is sized for ``max_adaptive_ratio`` and each ROI's bin average
+becomes a per-ROI assignment matrix (samples beyond the ROI's own grid carry
+zero weight), so the selected ratio is data-dependent while every array
+shape is trace-time constant.
 """
 
 from __future__ import annotations
@@ -84,9 +86,39 @@ def _bilinear_gather(flat_features, h, w, ys, xs):
     return jnp.where(out_of_range[:, None], 0.0, val)
 
 
+def _adaptive_coords_and_bins(origin, extent, out_size, r_max):
+    """Per-ROI adaptive sample coords [N, out*r_max] + bin-assignment matrix
+    [N, out, out*r_max] for one axis.
+
+    The selected per-ROI ratio is ``clip(ceil(extent / out), 1, r_max)``;
+    D2's rule is ``ceil`` with NO lower clip — an axis with extent <= 0 gets
+    zero samples, which zeroes the whole output bin (count clamps to 1), so
+    that case is folded into the assignment weights instead.
+    """
+    s = out_size * r_max
+    grid = jnp.ceil(extent / out_size)  # D2's raw grid size (can be <= 0)
+    r = jnp.clip(grid, 1, r_max)
+    ns = out_size * r  # [N] samples actually used
+    k = jnp.arange(s, dtype=jnp.float32)
+    # Sample positions for THIS ROI's ratio; beyond-grid slots clamp to the
+    # last valid sample (their assignment weight below is zero).
+    frac = (jnp.minimum(k[None, :], ns[:, None] - 1.0) + 0.5) / ns[:, None]
+    coords = origin[:, None] + frac * extent[:, None]
+    bins = jnp.floor(k[None, :] / r[:, None])  # [N, S]
+    a = (
+        (bins[:, None, :] == jnp.arange(out_size, dtype=jnp.float32)[None, :, None])
+        & (k[None, None, :] < ns[:, None, None])
+    ).astype(jnp.float32) / r[:, None, None]
+    a = a * (grid >= 1.0)[:, None, None]  # degenerate axis -> empty bins
+    return coords, a
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "aligned", "chunk_size"),
+    static_argnames=(
+        "output_size", "sampling_ratio", "aligned", "chunk_size",
+        "max_adaptive_ratio",
+    ),
 )
 def roi_align(
     features: jnp.ndarray,
@@ -96,17 +128,20 @@ def roi_align(
     sampling_ratio: int = 2,
     aligned: bool = True,
     chunk_size: int = 256,
+    max_adaptive_ratio: int = 8,
 ) -> jnp.ndarray:
     """Pool ``[N, 4]`` xyxy image-space boxes from ``[H, W, C]`` features.
 
     Returns ``[N, output_size, output_size, C]`` (NHWC). Matches Detectron2's
-    ROIAlignV2 (aligned=True) to float precision.
+    ROIAlignV2 (aligned=True) to float precision, including the adaptive
+    ``sampling_ratio=0`` rule (exact for ROIs whose per-axis grid
+    ``ceil(extent/out)`` fits ``max_adaptive_ratio``).
     """
     h, w, c = features.shape
     n = boxes.shape[0]
-    if sampling_ratio <= 0:
-        sampling_ratio = 2  # static stand-in for D2's adaptive ceil rule
-    s = output_size * sampling_ratio
+    adaptive = sampling_ratio <= 0
+    r_static = max_adaptive_ratio if adaptive else sampling_ratio
+    s = output_size * r_static
 
     scaled = boxes * spatial_scale
     offset = 0.5 if aligned else 0.0
@@ -118,32 +153,45 @@ def roi_align(
         roi_w = jnp.maximum(roi_w, 1.0)
         roi_h = jnp.maximum(roi_h, 1.0)
 
-    # Sample-point coordinates: s points per axis at sub-bin centers.
-    steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # in (0, 1)
-    ys = y0[:, None] + steps[None, :] * roi_h[:, None]  # [N, S]
-    xs = x0[:, None] + steps[None, :] * roi_w[:, None]  # [N, S]
+    if adaptive:
+        ys, ay = _adaptive_coords_and_bins(y0, roi_h, output_size, r_static)
+        xs, ax = _adaptive_coords_and_bins(x0, roi_w, output_size, r_static)
+        per_roi = (ys, xs, ay, ax)
+    else:
+        # Sample-point coordinates: s points per axis at sub-bin centers.
+        steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # in (0, 1)
+        ys = y0[:, None] + steps[None, :] * roi_h[:, None]  # [N, S]
+        xs = x0[:, None] + steps[None, :] * roi_w[:, None]  # [N, S]
+        per_roi = (ys, xs)
 
     flat = features.reshape(h * w, c)
 
-    def pool_chunk(coords):
-        cy, cx = coords  # [chunk, S] each
+    def pool_chunk(args):
+        cy, cx = args[0], args[1]  # [chunk, S] coords
         chunk = cy.shape[0]
         grid_y = jnp.repeat(cy[:, :, None], s, axis=2)  # [chunk, S, S]
         grid_x = jnp.repeat(cx[:, None, :], s, axis=1)
         vals = _bilinear_gather(
             flat, h, w, grid_y.reshape(-1), grid_x.reshape(-1)
         )  # [chunk*S*S, C]
-        return avg_pool_bins(vals.reshape(chunk, s, s, c), sampling_ratio)
+        vals = vals.reshape(chunk, s, s, c)
+        if adaptive:
+            cay, cax = args[2], args[3]  # [chunk, out, S] bin matrices
+            a = jnp.einsum("nik,nklc->nilc", cay, vals)
+            return jnp.einsum("njl,nilc->nijc", cax, a)
+        return avg_pool_bins(vals, r_static)
 
     if n <= chunk_size:
-        return pool_chunk((ys, xs))
+        return pool_chunk(per_roi)
 
     # Chunk the ROI axis to bound the gather working set; pad to a multiple.
     pad = (-n) % chunk_size
-    ys_p = jnp.pad(ys, ((0, pad), (0, 0)))
-    xs_p = jnp.pad(xs, ((0, pad), (0, 0)))
-    ys_c = ys_p.reshape(-1, chunk_size, s)
-    xs_c = xs_p.reshape(-1, chunk_size, s)
-    out = jax.lax.map(pool_chunk, (ys_c, xs_c))
+    args = tuple(
+        jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1)).reshape(
+            (-1, chunk_size) + t.shape[1:]
+        )
+        for t in per_roi
+    )
+    out = jax.lax.map(pool_chunk, args)
     out = out.reshape(-1, output_size, output_size, c)
     return out[:n]

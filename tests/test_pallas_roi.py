@@ -518,3 +518,60 @@ def test_shard_map_wrap_backward_matches_unwrapped_interpret():
     finally:
         parallel.set_active_mesh(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_adaptive_sampling_multilevel_matches_d2_oracle():
+    """sampling_ratio=0 (D2's adaptive ceil rule) through the PRODUCTION
+    tiered pooler: for boxes whose extent fits their area-rule level, the
+    result must equal the literal-D2 oracle at that level — including the
+    per-ROI, per-axis adaptive grid selection; and the Pallas kernel path
+    (interpret) must match the XLA path bit-for-bit in plan terms."""
+    from tests.test_roi_align import roi_align_reference
+
+    rng = np.random.default_rng(11)
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((96 // 2**i, 128 // 2**i, 16)).astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    strides = [4, 8, 16, 32]
+    # Box sizes spanning the area-rule levels; sides differ so the two
+    # axes select DIFFERENT adaptive grids.
+    boxes = np.array(
+        [
+            [8.0, 8.0, 72.0, 48.0],       # level 2, grids 3x2
+            [10.0, 10.0, 130.0, 190.0],   # level 3, grids 3x4 (per-axis)
+            [0.0, 0.0, 350.0, 300.0],     # level 4, in patch bound
+            [40.0, 30.0, 44.0, 34.0],     # tiny: grid 1x1
+            [5.0, 5.0, 5.0, 60.0],        # degenerate width -> zeros
+        ],
+        np.float32,
+    )
+    out = np.asarray(
+        multilevel_roi_align(
+            feats, jnp.asarray(boxes), strides, 7, sampling_ratio=0,
+            patch_size=32, extent_tiers=True, use_pallas=False,
+        )
+    )
+    # Oracle: pure FPN area rule (these boxes never overflow the patch
+    # bound, so no alias rerouting happens).
+    areas = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * np.clip(
+        boxes[:, 3] - boxes[:, 1], 0, None
+    )
+    lvl = np.clip(
+        np.floor(4 + np.log2(np.sqrt(areas) / 224 + 1e-8)), 2, 5
+    ).astype(int) - 2
+    for i, box in enumerate(boxes):
+        want = roi_align_reference(
+            np.asarray(feats[lvl[i]]), box[None], 1.0 / strides[lvl[i]], 7, 0
+        )[0]
+        np.testing.assert_allclose(out[i], want, atol=2e-5, rtol=1e-4)
+    assert np.all(out[4] == 0.0)
+
+    # Pallas (interpret) path agrees with the XLA path under adaptive plans.
+    storage, starts, wy, wx = plan_pooling(
+        feats, jnp.asarray(boxes), strides, 7, 0, 224, 4, 32, True
+    )
+    got = roi_patch_interpolate(storage, starts, wy, wx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), out, atol=2e-4, rtol=1e-3)

@@ -187,8 +187,12 @@ def test_full_inference_pipeline_matches_numpy_oracle():
             (len(boxes), out_size, out_size, planes[0].shape[-1]), np.float32
         )
         for i, (box, lv) in enumerate(zip(boxes, idx)):
+            # sampling_ratio=0: D2's adaptive rule — the production default
+            # (ROI_BOX/MASK_HEAD.POOLER_SAMPLING_RATIO=0). The grid derives
+            # from the box extent at the ROUTED plane's stride, exactly as
+            # plan_rois computes it.
             out[i] = roi_align_reference(
-                planes[lv], box[None], 1.0 / plane_strides[lv], out_size, 2
+                planes[lv], box[None], 1.0 / plane_strides[lv], out_size, 0
             )[0]
         return out
 
