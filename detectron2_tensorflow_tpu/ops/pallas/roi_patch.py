@@ -139,11 +139,19 @@ def _vmem_group(base: int, p: int, c: int, itemsize: int,
 #   * block-diagonal K=128 batching of the group's first dots
 #     (FWD_BLOCKDIAG): neutral at all-valid (same VMEM bytes) and 2.5x
 #     worse when most slots skip (no per-member compute gate) — keep off.
-# Remaining lead: row-tier-sliced dots (wy[:, :r] @ patch[:r] is exact —
-# rows past the window carry zero weight) would cut the VMEM read ~40%,
-# but needs a ref slice + reshape inside a pl.when region, which Mosaic
-# currently rejects. Narrow tiers DO pay off in the backward, whose
-# read-modify-write traffic is 2 HBM DMAs/ROI on f32 planes.
+# Row-tier-sliced dots: MEASURED, a dead end (round-2 session-5). The
+# Mosaic reshape-in-region restriction is avoidable — dot_general on the 3D
+# [rows, P, C] segment load contracting dim 0 lowers fine inside pl.when —
+# but a per-segment f32 [S, P, C] accumulator adds more VMEM traffic than
+# the narrowed rows save: at C=1024 (B=8, N=1000, all-real 60/30/10 tier
+# mix) 53.1 -> 63.7 ms/batch, at C=256 17.8 -> 22.1. Narrowing ONLY the
+# HBM DMA can't help either: the DMA is double-buffered behind the member
+# compute, which is the bound (53 ms measured vs 19.5 ms full-window DMA
+# roofline at C=1024). Swapping the contraction order (patch @ Wx^T first,
+# then Wy — kills the final swapaxes) measured just -4.6% at C=1024 and
+# changes bf16 summation order; not worth splitting the code path.
+# Narrow tiers DO pay off in the backward, whose read-modify-write traffic
+# is 2 HBM DMAs/ROI on f32 planes.
 FWD_BLOCKDIAG = False  # worse or neutral on v5e (see above); experiments only
 
 
