@@ -23,6 +23,10 @@ _C.LOGS.ROOT_DIR = ""
 _C.LOGS.TRAIN = "train"
 _C.LOGS.EVAL = "eval"
 _C.LOGS.EXPORT = "export"
+# Persistent XLA compilation cache (TPU addition): full-detector graphs take
+# 20-40s to compile; caching makes restarts/eval-after-train near-instant.
+# Set to "" to disable.
+_C.LOGS.COMPILATION_CACHE_DIR = "~/.cache/detectron2_tensorflow_tpu/xla"
 
 _C.OUTPUT_DIR = "./output"
 # Negative seed => nondeterministic; non-negative => fixed jax.random seed.

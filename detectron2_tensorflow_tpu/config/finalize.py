@@ -44,4 +44,17 @@ def finalize(cfg, training: bool = True):
             if "stuff_classes" in cats:
                 cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = len(cats["stuff_classes"])
         cfg.freeze()
+
+    # Persistent XLA compilation cache: the jitted detector graphs take
+    # 20-40s each to compile on TPU; caching them on disk makes restarts,
+    # resume-after-preemption and eval-after-train near-instant. Harmless
+    # if several processes share the directory (entries are content-hashed).
+    if cfg.LOGS.COMPILATION_CACHE_DIR:
+        path = os.path.expanduser(cfg.LOGS.COMPILATION_CACHE_DIR)
+        try:
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except (OSError, AttributeError):
+            pass  # read-only FS or an older jax without the knob
     return cfg

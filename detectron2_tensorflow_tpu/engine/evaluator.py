@@ -51,6 +51,54 @@ def _voc_factories(cfg):
     }
 
 
+def build_predict(cfg, model):
+    """jit ``model.predict``, data-parallel over the device mesh.
+
+    Per-image inference is embarrassingly parallel, so with more than one
+    local device the eval batch shards over the mesh's 'data' axis exactly
+    like the train step (cfg.PARALLEL axes; the reference evaluates on one
+    GPU only — evaluator.py:16-87). Outputs stay batch-sharded: the loop's
+    ``device_get`` pulls each shard straight off its device with no
+    gather collective. Single-device (and multi-process, where only
+    process 0 evaluates) keeps the plain jit.
+    """
+    if jax.local_device_count() == 1 or jax.process_count() > 1:
+        return jax.jit(model.predict)
+    from ..parallel import (
+        batch_sharding,
+        create_mesh,
+        get_active_mesh,
+        set_active_mesh,
+    )
+
+    mesh = create_mesh(cfg.PARALLEL.DATA_AXIS, cfg.PARALLEL.MODEL_AXIS)
+    ndata = mesh.shape["data"]
+    bs = batch_sharding(mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    sharded = jax.jit(model.predict, in_shardings=(rep, bs), out_shardings=bs)
+    single = jax.jit(model.predict)  # compiled lazily, only if ever called
+
+    def predict(variables, batch):
+        # A batch that does not divide the data axis (small eval runs,
+        # tests) falls back to single-device execution for that call.
+        if batch["image"].shape[0] % ndata == 0:
+            # Mosaic kernels can't be auto-partitioned by GSPMD; the ROI
+            # kernels consult the active mesh AT TRACE TIME to wrap
+            # themselves in shard_map over 'data'. Scope the registration
+            # to this call (the first call traces) and restore whatever
+            # was active, so eval never leaks a mesh into later
+            # single-device jits (e.g. TTA's, or another caller's).
+            prev = get_active_mesh()
+            set_active_mesh(mesh)
+            try:
+                return sharded(variables, batch)
+            finally:
+                set_active_mesh(prev)
+        return single(variables, batch)
+
+    return predict
+
+
 def build_detection_evaluators(cfg):
     """Instantiate the detection-family evaluators named by ``EVAL.METRICS``.
 
@@ -137,7 +185,7 @@ def evaluate(
                 lambda *xs: jnp.concatenate(xs, axis=0), *outs
             )
     else:
-        predict = jax.jit(model.predict)
+        predict = build_predict(cfg, model)
     seen = set()
     n_done = 0
     n_drawn = 0
@@ -316,7 +364,7 @@ def evaluate_sem_seg(
                 lambda *xs: jnp.concatenate(xs, axis=0), *outs
             )
     else:
-        predict = jax.jit(model.predict)
+        predict = build_predict(cfg, model)
     seen = set()
     n_done = 0
     for batch in data_iter:
@@ -419,7 +467,7 @@ def evaluate_panoptic(
         cat_table[1000 + cid] = False
     pq = PanopticEvaluator(cat_table)
 
-    predict = jax.jit(model.predict)
+    predict = build_predict(cfg, model)
     fuse = jax.jit(lambda o: panoptic_fusion(cfg, o))
     seen = set()
     n_done = 0

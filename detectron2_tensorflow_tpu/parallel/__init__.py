@@ -87,6 +87,12 @@ def active_multidevice_mesh() -> Optional[Mesh]:
     return None
 
 
+def get_active_mesh() -> Optional[Mesh]:
+    """The registered mesh exactly as set (no device-count filtering) —
+    for save/restore around a scoped set_active_mesh."""
+    return _ACTIVE_MESH
+
+
 def create_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> Mesh:
     """Build a (data, model) mesh; ``data_axis=-1`` uses all remaining devices."""
     devices = devices if devices is not None else jax.devices()

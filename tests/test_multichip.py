@@ -82,3 +82,46 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(
             float(m1[k]), float(m42[k]), rtol=2e-4, atol=1e-5,
         ), k
+
+
+def test_sharded_eval_predict_matches_single_device():
+    """engine.evaluator.build_predict under a multi-device host must shard
+    the eval batch over the 'data' mesh axis and produce the SAME
+    detections as a plain single-device jit (per-image inference is
+    data-parallel-exact)."""
+    from detectron2_tensorflow_tpu.engine.evaluator import build_predict
+    from detectron2_tensorflow_tpu.models import build_model
+    from detectron2_tensorflow_tpu.parallel import set_active_mesh
+    from tests.test_end_to_end import tiny_rcnn_cfg
+
+    cfg = tiny_rcnn_cfg()
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    model = build_model(cfg)
+
+    b = 8
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.uniform(0, 255, (b, 64, 96, 3)).astype(np.float32)
+        ),
+        "image_size": jnp.tile(jnp.array([[64, 96]], jnp.int32), (b, 1)),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
+
+    want = jax.device_get(jax.jit(model.predict)(variables, batch))
+    try:
+        predict = build_predict(cfg, model)
+        got = jax.device_get(predict(variables, batch))
+    finally:
+        set_active_mesh(None)
+
+    np.testing.assert_allclose(
+        np.asarray(got.boxes), np.asarray(want.boxes), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=1e-5, atol=1e-5
+    )
+    assert (np.asarray(got.pred_classes) == np.asarray(want.pred_classes)).all()
+    assert (np.asarray(got.is_valid) == np.asarray(want.is_valid)).all()

@@ -6,8 +6,10 @@ Measures jitted inference img/s for each model family from its REAL config
 YAML (so RPN/NMS budgets match what users run), bf16, batch 8.
 
 Usage: python tools/bench_heads.py [head ...]
-Heads: retinanet solov2 yolov4 c4 (default: all).
-Prints one JSON line per head.
+Heads: retinanet solov2 yolov4 c4 dc5 fpn (default: all).
+Prints one JSON line per head (throughput + ms/batch latency).
+``BENCH_BATCH=n`` overrides the batch size (BENCH_BATCH=1 = serving
+latency of a single request).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ HEADS = {
     "yolov4": ("configs/COCO-Detection/yolov4_D_53_PAN_1x.yaml", (608, 608), 8),
     "c4": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_C4_1x.yaml", (800, 1344), 8),
     "dc5": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_DC5_1x.yaml", (800, 1344), 8),
+    "fpn": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml", (800, 1344), 8),
 }
 
 
@@ -37,6 +40,7 @@ def measure(name: str) -> dict:
     from detectron2_tensorflow_tpu.models import build_model
 
     path, (h, w), batch_size = HEADS[name]
+    batch_size = int(os.environ.get("BENCH_BATCH", batch_size))
     cfg = get_cfg()
     cfg.merge_from_file(path)
     cfg.MODEL.DTYPE = "bfloat16"
@@ -73,6 +77,7 @@ def measure(name: str) -> dict:
         "unit": "img/s",
         "config": path,
         "batch": batch_size,
+        "latency_ms_per_batch": round(dt / iters * 1e3, 2),
     }
 
 
