@@ -60,6 +60,11 @@ _C.DATASETS.ROOT_DIR = ""
 _C.DATASETS.TRAIN = "train"
 _C.DATASETS.VAL = "val"
 _C.DATASETS.CATEGORY_MAP_NAME = "category_map.json"
+# Training input source. The reference always trains from TFRecords
+# (reference lib/data/dataloader.py:69-112); this framework also reads COCO
+# JSON directly. "auto" = use `<ROOT>/<TRAIN>.record-*` shards when they
+# exist (built by build_records.py), else `<ROOT>/<TRAIN>.json`.
+_C.DATASETS.TRAIN_FORMAT = "auto"  # auto | coco_json | records
 # Precomputed proposal files for RPN-less Fast R-CNN training/eval
 # (upstream-D2 DATASETS.PROPOSAL_FILES_*; consumed when MODEL.LOAD_PROPOSALS).
 _C.DATASETS.PROPOSAL_FILES_TRAIN = ()

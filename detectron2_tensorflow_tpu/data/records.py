@@ -115,10 +115,22 @@ def build_records(
         for idx in range(len(dataset)):
             s = dataset[idx]
             img = s["image"]
-            ok, buf = cv2.imencode(
-                ".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+            # Copy the original encoded bytes when the source is already a
+            # JPEG file (the reference embeds the file bytes verbatim,
+            # build_coco_det.py:16-133) — lossless and faster than
+            # re-encoding; fall back to cv2 JPEG encoding otherwise.
+            path = (
+                dataset.image_path(idx)
+                if hasattr(dataset, "image_path") else None
             )
-            assert ok
+            if path and path.lower().endswith((".jpg", ".jpeg")):
+                with open(path, "rb") as fh:
+                    buf = np.frombuffer(fh.read(), np.uint8)
+            else:
+                ok, buf = cv2.imencode(
+                    ".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+                )
+                assert ok
             ex = create_example(
                 {
                     "image_id": s.get("image_id", idx),

@@ -23,6 +23,43 @@ def parse_args():
     return p.parse_args()
 
 
+def build_train_dataset(cfg):
+    """Training input per DATASETS.TRAIN_FORMAT: TFRecord shards (the
+    reference's only input path, lib/data/dataloader.py:69-112) or COCO
+    JSON. "auto" prefers `<ROOT>/<TRAIN>.record-*` shards when present —
+    keypoint and precomputed-proposal fields live only in the JSON path."""
+    import glob
+
+    from detectron2_tensorflow_tpu.data import CocoDataset
+
+    pattern = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".record-*")
+    fmt = cfg.DATASETS.TRAIN_FORMAT
+    json_only = cfg.MODEL.KEYPOINT_ON or (
+        cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN
+    )
+    if fmt == "records" or (fmt == "auto" and glob.glob(pattern) and not json_only):
+        from detectron2_tensorflow_tpu.data.records import TFRecordDataset
+
+        logging.info("training from records: %s", pattern)
+        return TFRecordDataset(pattern, load_masks=cfg.MODEL.MASK_ON)
+
+    ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".json")
+    img_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN)
+    dataset = CocoDataset(
+        ann, img_root, load_masks=cfg.MODEL.MASK_ON,
+        min_keypoints=(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE
+            if cfg.MODEL.KEYPOINT_ON
+            else 0
+        ),
+    )
+    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN:
+        dataset.set_proposals(
+            os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.PROPOSAL_FILES_TRAIN[0])
+        )
+    return dataset
+
+
 def main():
     logging.basicConfig(level=logging.INFO)
     args = parse_args()
@@ -46,20 +83,7 @@ def main():
 
     finalize(cfg, training=True)
 
-    ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".json")
-    img_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN)
-    dataset = CocoDataset(
-        ann, img_root, load_masks=cfg.MODEL.MASK_ON,
-        min_keypoints=(
-            cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE
-            if cfg.MODEL.KEYPOINT_ON
-            else 0
-        ),
-    )
-    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN:
-        dataset.set_proposals(
-            os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.PROPOSAL_FILES_TRAIN[0])
-        )
+    dataset = build_train_dataset(cfg)
 
     model = build_model(cfg)
     from detectron2_tensorflow_tpu.data import (
