@@ -29,7 +29,9 @@ def main():
         cfg.merge_from_list(args.opts)
 
     root = cfg.BUILD_RECORDS.ROOT_DIR or cfg.DATASETS.ROOT_DIR
-    load_masks = cfg.BUILD_RECORDS.TYPE != "coco_det"
+    load_masks = (
+        cfg.BUILD_RECORDS.TYPE != "coco_det" or cfg.BUILD_RECORDS.INCLUDE_MASKS
+    )
     panoptic = cfg.BUILD_RECORDS.TYPE == "coco_pano"
     for split, shards in (
         (cfg.DATASETS.TRAIN, cfg.BUILD_RECORDS.TRAIN_NUM_SHARDS),

@@ -48,6 +48,11 @@ _C.SERVING_MODEL.LABEL_OFFSET = 1
 # ----------------------------------------------------------------------------
 _C.BUILD_RECORDS = CN()
 _C.BUILD_RECORDS.TYPE = "coco_pano"  # "coco_pano" | "coco_det"
+# Embed per-instance PNG masks in coco_det records. The reference's det
+# builder hardwires include_masks=False (build_coco_det.py:212-236 never
+# passes it), leaving its own mask models untrainable from det records;
+# defaulting True here is a deliberate usability fix.
+_C.BUILD_RECORDS.INCLUDE_MASKS = True
 _C.BUILD_RECORDS.ROOT_DIR = ""
 _C.BUILD_RECORDS.TRAIN_NUM_SHARDS = 16
 _C.BUILD_RECORDS.VAL_NUM_SHARDS = 16

@@ -244,3 +244,10 @@ class TFRecordDataset:
                 ids == 256**3 - 1, -1, ids
             ).astype(np.int32)
         return sample
+
+    def image_id(self, idx: int) -> int:
+        """Decode only sample ``idx``'s id (eval indexes GT by image_id)."""
+        fi, off, length = self._index[idx]
+        payload = codec.read_record_at(self.files[fi], off, length, verify=True)
+        f = codec.decode_example(payload)
+        return int(self._feature(f, "image/source_id", "bytes", [b"0"])[0])

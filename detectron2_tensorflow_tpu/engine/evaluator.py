@@ -530,9 +530,16 @@ def num_classes_of(cfg) -> int:
 
 def _index_of(dataset, image_id: int) -> int:
     if not hasattr(dataset, "_id_to_index"):
-        dataset._id_to_index = {
-            info["id"]: i for i, (info, _) in enumerate(dataset.images)
-        }
+        if hasattr(dataset, "images"):
+            dataset._id_to_index = {
+                info["id"]: i for i, (info, _) in enumerate(dataset.images)
+            }
+        else:
+            # Record-backed datasets expose image_id(i) instead of a COCO
+            # images table (data/records.TFRecordDataset).
+            dataset._id_to_index = {
+                dataset.image_id(i): i for i in range(len(dataset))
+            }
     return dataset._id_to_index[image_id]
 
 

@@ -79,6 +79,21 @@ def build_eval_dataset(cfg):
             os.path.join(root, cfg.DATASETS.VAL + "_panoptic"),
             os.path.join(root, cfg.DATASETS.VAL),
         )
+    # Detection family: records when present (the reference's only eval
+    # input, lib/engine/evaluator.py:16-53), else COCO JSON — same
+    # DATASETS.TRAIN_FORMAT rule as train.py. Proposal files need the
+    # JSON path (ids are keyed to the annotations file).
+    import glob
+
+    pattern = os.path.join(root, cfg.DATASETS.VAL + ".record-*")
+    json_only = cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST
+    fmt = cfg.DATASETS.TRAIN_FORMAT
+    if fmt == "records" or (fmt == "auto" and glob.glob(pattern) and not json_only):
+        from detectron2_tensorflow_tpu.data.records import TFRecordDataset
+
+        logging.info("evaluating from records: %s", pattern)
+        return TFRecordDataset(pattern, load_masks=cfg.MODEL.MASK_ON)
+
     ann = os.path.join(root, cfg.DATASETS.VAL + ".json")
     img_root = os.path.join(root, cfg.DATASETS.VAL)
     ds = CocoDataset(ann, img_root, load_masks=cfg.MODEL.MASK_ON)

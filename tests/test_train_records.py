@@ -78,6 +78,76 @@ def test_record_samples_match_json_path(tmp_path):
         )
 
 
+def test_panoptic_arch_uses_panoptic_layout(tmp_path):
+    import cv2
+    import pytest
+
+    from detectron2_tensorflow_tpu.data.panoptic import (
+        CocoPanopticDataset,
+        id_to_rgb,
+    )
+
+    root, _ = _dataset_root(tmp_path)
+    # Minimal <TRAIN>_panoptic layout over the first synthetic image.
+    os.makedirs(os.path.join(root, "train_panoptic"), exist_ok=True)
+    seg = np.zeros((240, 320), np.int64)
+    seg[4:20, 4:28] = 7
+    cv2.imwrite(
+        os.path.join(root, "train_panoptic", "000000.png"),
+        cv2.cvtColor(id_to_rgb(seg), cv2.COLOR_RGB2BGR),
+    )
+    with open(os.path.join(root, "train_panoptic.json"), "w") as f:
+        json.dump({
+            "images": [
+                {"id": 1, "file_name": "000000.jpg", "height": 240, "width": 320}
+            ],
+            "annotations": [{
+                "image_id": 1, "file_name": "000000.png",
+                "segments_info": [
+                    {"id": 7, "category_id": 1, "iscrowd": 0, "area": 384}
+                ],
+            }],
+            "categories": [
+                {"id": 1, "name": "square", "isthing": 1},
+                {"id": 10, "name": "bg", "isthing": 0},
+            ],
+        }, f)
+
+    cfg = _cfg(root, "coco_json")
+    cfg.MODEL.META_ARCHITECTURE = "PanopticFPN"
+    ds = build_train_dataset(cfg)
+    assert isinstance(ds, CocoPanopticDataset)
+    assert ds[0].get("sem_seg") is not None
+
+    # Detection-only records cannot feed a semantic head: loud error.
+    cfg = _cfg(root, "records")
+    cfg.MODEL.META_ARCHITECTURE = "PanopticFPN"
+    with pytest.raises(ValueError, match="coco_pano"):
+        build_train_dataset(cfg)
+
+
+def test_eval_dataset_from_records(tmp_path):
+    import importlib
+
+    from detectron2_tensorflow_tpu.engine.evaluator import _index_of
+
+    eval_mod = importlib.import_module("eval")
+    root, coco_ds = _dataset_root(tmp_path)
+    # _dataset_root writes train.* only; eval reads DATASETS.VAL.
+    cfg = _cfg(root, "auto")
+    cfg.DATASETS.VAL = "train"
+    ds = eval_mod.build_eval_dataset(cfg)
+    assert isinstance(ds, TFRecordDataset)
+    # GT lookup by image_id (the evaluator's access pattern).
+    for i in range(len(coco_ds)):
+        iid = coco_ds[i]["image_id"]
+        got = ds[_index_of(ds, iid)]
+        assert got["image_id"] == iid
+    cfg2 = _cfg(root, "coco_json")
+    cfg2.DATASETS.VAL = "train"
+    assert isinstance(eval_mod.build_eval_dataset(cfg2), CocoDataset)
+
+
 def test_loader_runs_on_records(tmp_path):
     root, _ = _dataset_root(tmp_path)
     cfg = _cfg(root, "records")

@@ -69,9 +69,16 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 600
     arch = "retinanet" if "--arch" in sys.argv and "retinanet" in sys.argv else "rcnn"
 
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    cache = os.path.expanduser("~/.cache/detectron2_tensorflow_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     sys.path.insert(0, ".")
     from detectron2_tensorflow_tpu.data import build_dataloader
@@ -109,6 +116,47 @@ def main():
         for b in build_dataloader(cfg, ds, training=False, seed=0)
     )
     results = evaluate(cfg, model, variables, ds, eval_iter)
+
+    # Per-instance diagnostic: which GT are actually found (IoU>=0.5, same
+    # class)? Pinpoints misses that the class-averaged AP only hints at.
+    predict = jax.jit(model.predict)
+    missed = found = 0
+    for i in range(len(ds)):
+        s = ds[i]
+        h, w = s["image"].shape[:2]
+        scale = cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST / min(h, w)
+        if max(h, w) * scale > cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST:
+            scale = cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST / max(h, w)
+        import cv2
+
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        bh, bw = cfg.INPUT.PAD_BUCKETS[0] if nh <= nw else cfg.INPUT.PAD_BUCKETS[1]
+        img = np.zeros((1, bh, bw, 3), np.float32)
+        img[0, :nh, :nw] = cv2.resize(s["image"].astype(np.float32), (nw, nh))
+        det = predict(variables, {"image": jnp.asarray(img),
+                                  "image_size": jnp.asarray([[nh, nw]])})
+        boxes = np.asarray(det.boxes[0]) / np.array([nw / w, nh / h] * 2)
+        cls = np.asarray(det.pred_classes[0])
+        scr = np.asarray(det.scores[0])
+        ok = np.asarray(det.is_valid[0]) & (scr > 0.5)
+        for g, gbox in enumerate(s["boxes"]):
+            same = ok & (cls == s["classes"][g])
+            iou_best = 0.0
+            for b in boxes[same]:
+                ix = max(0, min(gbox[2], b[2]) - max(gbox[0], b[0]))
+                iy = max(0, min(gbox[3], b[3]) - max(gbox[1], b[1]))
+                inter = ix * iy
+                union = ((gbox[2] - gbox[0]) * (gbox[3] - gbox[1])
+                         + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+                iou_best = max(iou_best, inter / max(union, 1e-6))
+            if iou_best >= 0.5:
+                found += 1
+            else:
+                missed += 1
+                print(f"MISS img{i} gt{g} cls={int(s['classes'][g])} "
+                      f"box={np.round(gbox, 1).tolist()} best_iou={iou_best:.2f}",
+                      file=sys.stderr)
+    print(f"instances found {found} / {found + missed}", file=sys.stderr)
     out = {
         "arch": arch,
         "steps": steps,

@@ -22,6 +22,7 @@ python tools/make_synthetic_coco.py "$ROOT" 16 8
 
 echo "=== 2/5 build_records (det) + readback"
 python build_records.py --config_file "$CFG" "${OPTS[@]}" \
+    BUILD_RECORDS.TYPE coco_det \
     BUILD_RECORDS.TRAIN_NUM_SHARDS 2 BUILD_RECORDS.VAL_NUM_SHARDS 1
 python - "$ROOT" <<'EOF'
 import sys
@@ -39,10 +40,11 @@ python train.py --config_file "$CFG" "${OPTS[@]}"
 echo "=== 4/5 eval on the train split (overfit AP gate)"
 # Evaluating the memorized split: AP must be near-perfect if the whole
 # pipeline (records/loader/GT assignment/losses/optimizer/NMS/masks/eval)
-# is consistent.
+# is consistent. Measured on TPU v5e-1 2026-08-18: bbox AP 94.1 (AP50
+# 100.0), segm AP 86.5 (AP50 100.0) at 600 iters.
 python eval.py --config_file "$CFG" "${OPTS[@]}" \
     DATASETS.VAL train \
-    TEST.EXPECTED_RESULTS "[['bbox', 'AP', 70.0, 25.0], ['segm', 'AP', 70.0, 25.0]]"
+    TEST.EXPECTED_RESULTS "[['bbox', 'AP', 88.0, 10.0], ['segm', 'AP', 84.0, 12.0]]"
 
 echo "=== 5/5 export + serving smoke"
 python export.py --config_file "$CFG" "${OPTS[@]}"

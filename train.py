@@ -34,6 +34,9 @@ def build_train_dataset(cfg):
 
     pattern = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".record-*")
     fmt = cfg.DATASETS.TRAIN_FORMAT
+    needs_sem_seg = cfg.MODEL.META_ARCHITECTURE in (
+        "PanopticFPN", "SemanticSegmentor"
+    )
     json_only = cfg.MODEL.KEYPOINT_ON or (
         cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN
     )
@@ -41,7 +44,29 @@ def build_train_dataset(cfg):
         from detectron2_tensorflow_tpu.data.records import TFRecordDataset
 
         logging.info("training from records: %s", pattern)
-        return TFRecordDataset(pattern, load_masks=cfg.MODEL.MASK_ON)
+        ds = TFRecordDataset(pattern, load_masks=cfg.MODEL.MASK_ON)
+        if needs_sem_seg:
+            sample = ds[0]
+            if sample.get("sem_seg") is None:
+                raise ValueError(
+                    f"{cfg.MODEL.META_ARCHITECTURE} needs semantic GT but the "
+                    f"records at {pattern} carry none — rebuild them with "
+                    "BUILD_RECORDS.TYPE coco_pano (build_records.py)"
+                )
+        return ds
+
+    if needs_sem_seg:
+        # Semantic/panoptic GT comes from the COCO-panoptic layout:
+        # <TRAIN>_panoptic.json + <TRAIN>_panoptic/ PNG id-maps
+        # (reference build_coco_pano.py:33-265 reads the same files).
+        from detectron2_tensorflow_tpu.data.panoptic import CocoPanopticDataset
+
+        return CocoPanopticDataset(
+            os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + "_panoptic.json"),
+            os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + "_panoptic"),
+            os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN),
+            ignore_label=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+        )
 
     ann = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN + ".json")
     img_root = os.path.join(cfg.DATASETS.ROOT_DIR, cfg.DATASETS.TRAIN)
