@@ -138,7 +138,11 @@ def main():
         boxes = np.asarray(det.boxes[0]) / np.array([nw / w, nh / h] * 2)
         cls = np.asarray(det.pred_classes[0])
         scr = np.asarray(det.scores[0])
-        ok = np.asarray(det.is_valid[0]) & (scr > 0.5)
+        # Sigmoid-score heads (RetinaNet/focal loss) are calibrated lower
+        # than softmax R-CNN scores; don't let the report threshold hide
+        # correctly-ranked detections.
+        thr = 0.5 if arch == "rcnn" else 0.25
+        ok = np.asarray(det.is_valid[0]) & (scr > thr)
         for g, gbox in enumerate(s["boxes"]):
             same = ok & (cls == s["classes"][g])
             iou_best = 0.0
