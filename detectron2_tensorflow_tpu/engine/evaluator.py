@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..evaluation.coco_eval import CocoEvaluator
-from ..evaluation.np_masks import paste_masks
+from ..evaluation.np_masks import fullframe_masks_to_image, paste_masks
 
 logger = logging.getLogger(__name__)
 
@@ -189,6 +189,10 @@ def evaluate(
     seen = set()
     n_done = 0
     n_drawn = 0
+    fullframe = (
+        cfg.MODEL.META_ARCHITECTURE == "SingleStageDetector"
+        and cfg.MODEL.SINGLE_STAGE_HEAD.NAME == "SOLOv2Head"
+    )
     max_draw = cfg.EVAL.MAX_EXAMPLE_TO_DRAW if metric_logger is not None else 0
     draw_thresh = cfg.EVAL.MIN_VISUALIZATION_SCORE_THRESH
     class_names = getattr(dataset, "class_names", None) or getattr(
@@ -264,7 +268,16 @@ def evaluate(
                 k == "segm" for _, k in evaluators.values()
             ):
                 soft = np.asarray(out.pred_masks[i])[valid]
-                det_masks = paste_masks(soft, boxes, oh, ow)
+                if fullframe:
+                    # SOLOv2 emits whole-frame masks at the mask-feature
+                    # stride, not box crops — pasting them into boxes
+                    # (the R-CNN contract) would shrink the frame into
+                    # each box and zero the mask AP.
+                    det_masks = fullframe_masks_to_image(
+                        soft, int(rh), int(rw), oh, ow
+                    )
+                else:
+                    det_masks = paste_masks(soft, boxes, oh, ow)
             det_kps = None
             if "pred_keypoints" in out:
                 det_kps = np.asarray(out.pred_keypoints[i])[valid].copy()

@@ -20,6 +20,27 @@ def _weights(out_size: int, lo: float, hi: float, m: int) -> np.ndarray:
     return np.maximum(0.0, 1.0 - np.abs(coord[:, None] - cells[None, :]))
 
 
+def fullframe_masks_to_image(
+    masks: np.ndarray, rh: int, rw: int, height: int, width: int,
+    stride: int = 4, threshold: float = 0.5,
+) -> np.ndarray:
+    """Full-frame predicted masks (SOLOv2: whole padded frame at the
+    mask-feature stride, solov2.py inference) -> [N, H, W] bool at the
+    original resolution. Crops the valid content region (the resized image
+    occupies [0:rh, 0:rw] of the padded frame) before upsampling — unlike
+    ``paste_masks``, which expects box-cropped M x M masks."""
+    import cv2
+
+    ch = max(int(np.ceil(rh / stride)), 1)
+    cw = max(int(np.ceil(rw / stride)), 1)
+    out = np.zeros((len(masks), height, width), bool)
+    for i, m in enumerate(masks):
+        crop = np.asarray(m[:ch, :cw], np.float32)
+        out[i] = cv2.resize(crop, (width, height),
+                            interpolation=cv2.INTER_LINEAR) > threshold
+    return out
+
+
 def paste_masks(
     masks: np.ndarray, boxes: np.ndarray, height: int, width: int,
     threshold: float = 0.5,

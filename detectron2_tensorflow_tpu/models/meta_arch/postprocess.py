@@ -45,6 +45,46 @@ def detector_postprocess(cfg, detections, batch, mask_threshold: float = 0.5):
             pred_masks=(masks > mask_threshold).astype(jnp.uint8)
         )
 
+    # SOLOv2 emits WHOLE-FRAME masks at the mask-feature stride
+    # (single_stage/solov2.py), not box crops — box-pasting them would
+    # shrink the frame into each box. Its image-space formats are plain
+    # upsamples of the frame (content region for "fixed").
+    if (cfg.MODEL.META_ARCHITECTURE == "SingleStageDetector"
+            and cfg.MODEL.SINGLE_STAGE_HEAD.NAME == "SOLOv2Head"):
+        h, w = batch["image"].shape[1:3]
+        b, n = masks.shape[:2]
+        if fmt == "conventional":
+            up = jax.image.resize(
+                masks.astype(jnp.float32), (b, n, h, w), "bilinear"
+            )
+            return detections.replace(
+                pred_masks=(up > mask_threshold).astype(jnp.uint8)
+            )
+        if fmt == "fixed":
+            # Sample the content region [0:rh, 0:rw] of the frame at r x r
+            # uniform points (bilinear, per-image dynamic extent).
+            r = cfg.MODEL.SEGMENTATION_OUTPUT.FIXED_RESOLUTION
+            mh, mw = masks.shape[2:]
+            sy = batch["image_size"][:, 0].astype(jnp.float32) * (mh / h)
+            sx = batch["image_size"][:, 1].astype(jnp.float32) * (mw / w)
+
+            def sample(frame, ch, cw):
+                ys = (jnp.arange(r) + 0.5) * ch / r - 0.5
+                xs = (jnp.arange(r) + 0.5) * cw / r - 0.5
+                yy = jnp.broadcast_to(ys[:, None], (r, r))
+                xx = jnp.broadcast_to(xs[None, :], (r, r))
+                coords = jnp.stack([yy, xx])
+                return jax.vmap(
+                    lambda m: jax.scipy.ndimage.map_coordinates(
+                        m.astype(jnp.float32), coords, order=1, mode="nearest"
+                    )
+                )(frame)
+
+            up = jax.vmap(sample)(masks, sy, sx)
+            return detections.replace(
+                pred_masks=(up > mask_threshold).astype(jnp.uint8)
+            )
+
     if fmt == "conventional":
         h, w = batch["image"].shape[1:3]
         pasted = jax.vmap(
