@@ -442,6 +442,13 @@ _C.MODEL.SOLO.SIGMA = 0.2
 _C.MODEL.SOLO.FOCAL_LOSS_GAMMA = 2.0
 _C.MODEL.SOLO.FOCAL_LOSS_ALPHA = 0.25
 _C.MODEL.SOLO.INS_LOSS_WEIGHT = 3.0
+# Instance-mask loss. "dice" is the reference/paper loss (lib/layers/
+# loss.py:104-137). Pure dice's gradient dies when the sigmoid saturates —
+# training from SCRATCH reliably collapses to all-on/all-off masks (the
+# reference has the same property; it only ever trains from pretrained
+# backbones). "dice+bce" adds a saturation-safe BCE term that keeps
+# gradients alive; use it for from-scratch or synthetic-data training.
+_C.MODEL.SOLO.INS_LOSS_TYPE = "dice"  # "dice" | "dice+bce"
 _C.MODEL.SOLO.SCORE_THRESH_TEST = 0.1
 _C.MODEL.SOLO.UPDATE_SCORE_THRESH_TEST = 0.05
 _C.MODEL.SOLO.MASK_THRESH_TEST = 0.5

@@ -172,6 +172,7 @@ class SOLOv2:
         self.focal_alpha = s.FOCAL_LOSS_ALPHA
         self.focal_gamma = s.FOCAL_LOSS_GAMMA
         self.ins_loss_weight = s.INS_LOSS_WEIGHT
+        self.ins_loss_type = s.INS_LOSS_TYPE
         self.score_thresh = s.SCORE_THRESH_TEST
         self.update_thresh = s.UPDATE_SCORE_THRESH_TEST
         self.mask_thresh = s.MASK_THRESH_TEST
@@ -304,6 +305,19 @@ class SOLOv2:
             gt_masks = (gt_masks > 0.5).astype(pred.dtype)
             sel_masks = jnp.take(gt_masks, sel_gt, axis=0)
             d = dice_loss(pred, sel_masks)
+            if self.ins_loss_type == "dice+bce":
+                # Saturation-safe BCE keeps the mask gradient alive where
+                # dice's dies (sigmoid' -> 0): through p = sigmoid(z),
+                # d/dz[-t log(p+eps)] ~ -(1-p)t and
+                # d/dz[-(1-t) log(1-p+eps)] ~ (1-t)p never both vanish.
+                # Verified necessary for from-scratch training (pure dice
+                # collapses to all-on/all-off masks; see INS_LOSS_TYPE doc).
+                eps = 1e-6
+                p = pred.reshape(pred.shape[0], -1)
+                t = sel_masks.reshape(sel_masks.shape[0], -1)
+                bce = -(t * jnp.log(p + eps)
+                        + (1.0 - t) * jnp.log(1.0 - p + eps)).mean(axis=1)
+                d = d + bce
             ins_loss = jnp.sum(d * sel_pos) / jnp.maximum(jnp.sum(sel_pos), 1.0)
             num_pos = jnp.sum(pos)
             return cate_loss, ins_loss, num_pos

@@ -9,10 +9,13 @@ from detectron2_tensorflow_tpu.data.coco import segmentation_to_mask
 class SyntheticDataset:
     """Deterministic little detection dataset (drawn rectangles)."""
 
-    def __init__(self, n=8, h=97, w=153, num_classes=3, with_masks=True, seed=0):
+    def __init__(self, n=8, h=97, w=153, num_classes=3, with_masks=True,
+                 seed=0, with_keypoints=False, box_range=(10, 30)):
         self.n, self.h, self.w = n, h, w
+        self.box_range = box_range
         self.num_classes = num_classes
         self.with_masks = with_masks
+        self.with_keypoints = with_keypoints
         self.rng = np.random.default_rng(seed)
         self.samples = [self._make(i) for i in range(n)]
         # CocoDataset-compatible surface for the eval loop:
@@ -24,8 +27,9 @@ class SyntheticDataset:
         k = rng.integers(1, 4)
         boxes, classes, masks = [], [], []
         for _ in range(k):
-            x0, y0 = rng.uniform(0, self.w - 30), rng.uniform(0, self.h - 30)
-            bw, bh = rng.uniform(10, 30), rng.uniform(10, 30)
+            lo, hi = self.box_range
+            x0, y0 = rng.uniform(0, self.w - hi), rng.uniform(0, self.h - hi)
+            bw, bh = rng.uniform(lo, hi), rng.uniform(lo, hi)
             box = [x0, y0, min(x0 + bw, self.w), min(y0 + bh, self.h)]
             boxes.append(box)
             cls = int(rng.integers(0, self.num_classes))
@@ -43,6 +47,17 @@ class SyntheticDataset:
         }
         if self.with_masks:
             s["masks"] = np.stack(masks)
+        if self.with_keypoints:
+            # 4 keypoints per instance: box corners, all labeled visible.
+            b = s["boxes"]
+            s["keypoints"] = np.stack([
+                np.stack([
+                    [b[j, 0], b[j, 1], 2.0],
+                    [b[j, 2], b[j, 1], 2.0],
+                    [b[j, 0], b[j, 3], 2.0],
+                    [b[j, 2], b[j, 3], 2.0],
+                ]) for j in range(len(b))
+            ]).astype(np.float32)
         return s
 
     def __len__(self):

@@ -51,6 +51,16 @@ def test_solov2():
     assert out.pred_masks.shape[1] == 8  # stride-4 masks
     assert bool(jnp.isfinite(out.scores).all())
 
+    # dice+bce (saturation-safe from-scratch variant) adds a positive BCE
+    # term on the same predictions and must stay differentiable/finite.
+    cfg.MODEL.SOLO.INS_LOSS_TYPE = "dice+bce"
+    model2 = build_model(cfg)
+    total2, (losses2, _) = jax.jit(model2.loss_fn)(
+        variables, batch, jax.random.PRNGKey(1), {}
+    )
+    assert np.isfinite(float(total2))
+    assert float(losses2["loss_ins"]) > float(losses["loss_ins"])
+
 
 def test_yolov4():
     cfg = get_cfg()

@@ -27,10 +27,43 @@ def get_cfg_for(arch: str):
         cfg.merge_from_file(
             "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml"
         )
-    else:
+    elif arch == "keypoint":
+        cfg.merge_from_file(
+            "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml"
+        )
+        cfg.MODEL.MASK_ON = False
+        cfg.MODEL.KEYPOINT_ON = True
+        cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 4
+        cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS = (128,) * 4
+        cfg.TEST.KEYPOINT_OKS_SIGMAS = [0.05] * 4
+    elif arch == "retinanet":
         cfg.merge_from_file("configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml")
         cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES = 3
         cfg.MODEL.SINGLE_STAGE_HEAD.SCORE_THRESH_TEST = 0.3
+    elif arch == "solov2":
+        cfg.merge_from_file(
+            "configs/COCO-InstanceSegmentation/solo_v2_R_50_FPN_1x.yaml"
+        )
+        cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES = 3
+        cfg.MODEL.SINGLE_STAGE_HEAD.SCORE_THRESH_TEST = 0.2
+        # Fewer grid cells at the tiny input (defaults are 800px-scale).
+        cfg.MODEL.SOLO.NUM_GRIDS = [24, 20, 16, 12, 8]
+        # Pure dice collapses when training from scratch (see the
+        # INS_LOSS_TYPE doc in config/defaults.py) — the reference shares
+        # this property and only trains from pretrained backbones.
+        cfg.MODEL.SOLO.INS_LOSS_TYPE = "dice+bce"
+    elif arch == "yolov4":
+        cfg.merge_from_file("configs/COCO-Detection/yolov4_D_53_PAN_1x.yaml")
+        cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES = 3
+        cfg.MODEL.SINGLE_STAGE_HEAD.SCORE_THRESH_TEST = 0.2
+        # Anchor shapes scaled ~1/5 of the 608px ladder for 10-30px boxes.
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [
+            [[3, 3], [4, 8], [8, 6]],
+            [[8, 15], [15, 11], [14, 29]],
+            [[28, 22], [38, 49], [92, 82]],
+        ]
+    else:
+        raise SystemExit(f"unknown --arch {arch}")
     return cfg
 
 
@@ -44,9 +77,10 @@ def overfit_cfg(arch: str):
     cfg.TRANSFORM = tiny.TRANSFORM
     cfg.INPUT = tiny.INPUT
     cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE = 28
-    # Anchors scaled to the tiny input (the YAML's [[32]..[512]] ladder is
-    # tuned for 800px images; 10-30px synthetic boxes need smaller anchors).
-    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[8], [16], [32], [64], [128]]
+    if arch in ("rcnn", "retinanet"):
+        # Anchors scaled to the tiny input (the YAML's [[32]..[512]] ladder
+        # is tuned for 800px; 10-30px synthetic boxes need smaller anchors).
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[8], [16], [32], [64], [128]]
     cfg.MODEL.RESNETS.DEPTH = 18
     cfg.MODEL.RESNETS.NORM = "GN"
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
@@ -67,7 +101,9 @@ def overfit_cfg(arch: str):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 600
-    arch = "retinanet" if "--arch" in sys.argv and "retinanet" in sys.argv else "rcnn"
+    arch = "rcnn"
+    if "--arch" in sys.argv:
+        arch = sys.argv[sys.argv.index("--arch") + 1]
 
     import os
 
@@ -91,7 +127,19 @@ def main():
     from tests.test_data import SyntheticDataset
 
     cfg = overfit_cfg(arch)
-    ds = SyntheticDataset(n=8, num_classes=3)
+    if arch == "solov2":
+        # Mask heads at stride 4 need targets bigger than a couple of cells:
+        # larger canvas + boxes, resized to a 128/256 bucket.
+        cfg.TRANSFORM.RESIZE.MIN_SIZE_TRAIN = (128,)
+        cfg.TRANSFORM.RESIZE.MAX_SIZE_TRAIN = 256
+        cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST = 128
+        cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST = 256
+        cfg.INPUT.PAD_BUCKETS = ((128, 256), (256, 128))
+        ds = SyntheticDataset(n=8, h=194, w=306, num_classes=3,
+                              box_range=(30, 70))
+    else:
+        ds = SyntheticDataset(n=8, num_classes=3,
+                              with_keypoints=(arch == "keypoint"))
     model = build_model(cfg)
 
     train_iter = build_dataloader(cfg, ds, training=True, seed=0)
@@ -172,6 +220,8 @@ def main():
     if "segm/AP" in results:
         out["segm_ap"] = round(float(results["segm/AP"]), 2)
         out["segm_ap50"] = round(float(results.get("segm/AP50", float("nan"))), 2)
+    if "keypoints/AP" in results:
+        out["keypoints_ap"] = round(float(results["keypoints/AP"]), 2)
     print(json.dumps(out))
 
 

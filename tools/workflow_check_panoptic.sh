@@ -37,10 +37,10 @@ echo "=== 3/4 train PanopticFPN (600 iters, from pano records)"
 python train.py --config_file "$CFG" "${OPTS[@]}"
 
 echo "=== 4/4 eval on the train split (PQ / mIoU / AP gates)"
-# Measured on TPU v5e-1 2026-08-18 (see STATUS.md); tolerances are wide
-# because 16 images x 3 classes quantize AP/PQ coarsely.
+# Measured on TPU v5e-1 2026-08-18: bbox AP 91.8 (AP50 100.0),
+# PQ 94.1 (PQ_st 98.6 / PQ_th 91.1), mIoU 96.4, mACC 98.3.
 python eval.py --config_file "$CFG" "${OPTS[@]}" \
     DATASETS.VAL train \
-    TEST.EXPECTED_RESULTS "[['bbox', 'AP', 80.0, 20.0], ['sem_seg', 'mIoU', 85.0, 15.0], ['panoptic', 'PQ', 70.0, 25.0]]"
+    TEST.EXPECTED_RESULTS "[['bbox', 'AP', 88.0, 10.0], ['sem_seg', 'mIoU', 92.0, 8.0], ['panoptic', 'PQ', 88.0, 12.0]]"
 
 echo "PANOPTIC WORKFLOW CHECK PASSED"
