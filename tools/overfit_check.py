@@ -27,6 +27,16 @@ def get_cfg_for(arch: str):
         cfg.merge_from_file(
             "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml"
         )
+    elif arch == "cascade":
+        cfg.merge_from_file("configs/Misc/cascade_mask_rcnn_R_50_FPN_1x.yaml")
+    elif arch == "c4":
+        cfg.merge_from_file(
+            "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_C4_1x.yaml"
+        )
+    elif arch == "dconv":
+        cfg.merge_from_file(
+            "configs/Misc/mask_rcnn_R_50_FPN_1x_dconv_c3-c5.yaml"
+        )
     elif arch == "keypoint":
         cfg.merge_from_file(
             "configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml"
@@ -77,10 +87,12 @@ def overfit_cfg(arch: str):
     cfg.TRANSFORM = tiny.TRANSFORM
     cfg.INPUT = tiny.INPUT
     cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE = 28
-    if arch in ("rcnn", "retinanet"):
+    if arch in ("rcnn", "retinanet", "cascade", "dconv", "keypoint"):
         # Anchors scaled to the tiny input (the YAML's [[32]..[512]] ladder
         # is tuned for 800px; 10-30px synthetic boxes need smaller anchors).
         cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[8], [16], [32], [64], [128]]
+    elif arch == "c4":  # single feature level: one size set
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[8, 16, 32, 64, 128]]
     cfg.MODEL.RESNETS.DEPTH = 18
     cfg.MODEL.RESNETS.NORM = "GN"
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
