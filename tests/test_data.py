@@ -10,12 +10,14 @@ class SyntheticDataset:
     """Deterministic little detection dataset (drawn rectangles)."""
 
     def __init__(self, n=8, h=97, w=153, num_classes=3, with_masks=True,
-                 seed=0, with_keypoints=False, box_range=(10, 30)):
+                 seed=0, with_keypoints=False, box_range=(10, 30),
+                 with_sem_seg=False):
         self.n, self.h, self.w = n, h, w
         self.box_range = box_range
         self.num_classes = num_classes
         self.with_masks = with_masks
         self.with_keypoints = with_keypoints
+        self.with_sem_seg = with_sem_seg
         self.rng = np.random.default_rng(seed)
         self.samples = [self._make(i) for i in range(n)]
         # CocoDataset-compatible surface for the eval loop:
@@ -47,6 +49,13 @@ class SyntheticDataset:
         }
         if self.with_masks:
             s["masks"] = np.stack(masks)
+        if self.with_sem_seg:
+            # Dense labels: background 0, each rectangle = class + 1
+            # (later boxes overwrite earlier, matching the image paint).
+            sem = np.zeros((self.h, self.w), np.int32)
+            for b, c in zip(boxes, classes):
+                sem[int(b[1]):int(b[3]), int(b[0]):int(b[2])] = c + 1
+            s["sem_seg"] = sem
         if self.with_keypoints:
             # 4 keypoints per instance: box corners, all labeled visible.
             b = s["boxes"]

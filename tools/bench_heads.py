@@ -6,7 +6,7 @@ Measures jitted inference img/s for each model family from its REAL config
 YAML (so RPN/NMS budgets match what users run), bf16, batch 8.
 
 Usage: python tools/bench_heads.py [head ...]
-Heads: retinanet solov2 yolov4 c4 dc5 fpn (default: all).
+Heads: retinanet solov2 yolov4 c4 dc5 fpn dconv (default: all).
 Prints one JSON line per head (throughput + ms/batch latency).
 ``BENCH_BATCH=n`` overrides the batch size (BENCH_BATCH=1 = serving
 latency of a single request).
@@ -29,6 +29,7 @@ HEADS = {
     "c4": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_C4_1x.yaml", (800, 1344), 8),
     "dc5": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_DC5_1x.yaml", (800, 1344), 8),
     "fpn": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml", (800, 1344), 8),
+    "dconv": ("configs/Misc/mask_rcnn_R_50_FPN_1x_dconv_c3-c5.yaml", (800, 1344), 8),
 }
 
 

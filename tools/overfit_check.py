@@ -46,6 +46,18 @@ def get_cfg_for(arch: str):
         cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 4
         cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS = (128,) * 4
         cfg.TEST.KEYPOINT_OKS_SIGMAS = [0.05] * 4
+    elif arch == "relation":
+        cfg.merge_from_file("configs/Misc/relation_rcnn_R_50_FPN_1x.yaml")
+        # Exercise the full Relation-Networks stage including the learned
+        # NMS-free duplicate-removal head (reference relation_network.py +
+        # relation_module.py; DUPLICATE_REMOVAL_ON is this repo's wiring of
+        # the reference's orphan DUPLICATE_REMOVAL_* keys).
+        cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_ON = True
+    elif arch == "semantic":
+        cfg.merge_from_file(
+            "configs/COCO-SemanticSegmentation/semantic_R_50_FPN_1x.yaml"
+        )
+        cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 4  # background + 3 box classes
     elif arch == "retinanet":
         cfg.merge_from_file("configs/COCO-Detection/retinanet_R_50_FPN_1x.yaml")
         cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES = 3
@@ -87,7 +99,8 @@ def overfit_cfg(arch: str):
     cfg.TRANSFORM = tiny.TRANSFORM
     cfg.INPUT = tiny.INPUT
     cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE = 28
-    if arch in ("rcnn", "retinanet", "cascade", "dconv", "keypoint"):
+    if arch in ("rcnn", "retinanet", "cascade", "dconv", "keypoint",
+                "relation"):
         # Anchors scaled to the tiny input (the YAML's [[32]..[512]] ladder
         # is tuned for 800px; 10-30px synthetic boxes need smaller anchors).
         cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[8], [16], [32], [64], [128]]
@@ -139,19 +152,21 @@ def main():
     from tests.test_data import SyntheticDataset
 
     cfg = overfit_cfg(arch)
-    if arch == "solov2":
-        # Mask heads at stride 4 need targets bigger than a couple of cells:
-        # larger canvas + boxes, resized to a 128/256 bucket.
+    if arch in ("solov2", "semantic"):
+        # Mask/semseg heads at stride 4 need targets bigger than a couple of
+        # cells: larger canvas + boxes, resized to a 128/256 bucket.
         cfg.TRANSFORM.RESIZE.MIN_SIZE_TRAIN = (128,)
         cfg.TRANSFORM.RESIZE.MAX_SIZE_TRAIN = 256
         cfg.TRANSFORM.RESIZE.MIN_SIZE_TEST = 128
         cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST = 256
         cfg.INPUT.PAD_BUCKETS = ((128, 256), (256, 128))
         ds = SyntheticDataset(n=8, h=194, w=306, num_classes=3,
-                              box_range=(30, 70))
+                              box_range=(30, 70),
+                              with_sem_seg=(arch == "semantic"))
     else:
         ds = SyntheticDataset(n=8, num_classes=3,
-                              with_keypoints=(arch == "keypoint"))
+                              with_keypoints=(arch == "keypoint"),
+                              with_sem_seg=(arch == "semantic"))
     model = build_model(cfg)
 
     train_iter = build_dataloader(cfg, ds, training=True, seed=0)
@@ -175,6 +190,20 @@ def main():
         {k: jnp.asarray(v) for k, v in b.items()}
         for b in build_dataloader(cfg, ds, training=False, seed=0)
     )
+    if arch == "semantic":
+        from detectron2_tensorflow_tpu.engine.evaluator import evaluate_sem_seg
+
+        results = evaluate_sem_seg(cfg, model, variables, ds, eval_iter)
+        out = {
+            "arch": arch,
+            "steps": steps,
+            "train_seconds": round(train_s, 1),
+            "final_loss": last_loss,
+            "miou": round(float(results.get("sem_seg/mIoU", float("nan"))), 2),
+            "macc": round(float(results.get("sem_seg/mACC", float("nan"))), 2),
+        }
+        print(json.dumps(out))
+        return
     results = evaluate(cfg, model, variables, ds, eval_iter)
 
     # Per-instance diagnostic: which GT are actually found (IoU>=0.5, same
