@@ -117,10 +117,51 @@ def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32,
     raise ValueError(f"unknown norm '{norm}'")
 
 
+class _ConvKernel(nn.Module):
+    """Declares a bare conv ``kernel`` param. Named "conv", it reproduces
+    nn.Conv's ``<layer>/conv/kernel`` path so checkpoints and weight
+    converters see the identical tree whether or not the fused residual
+    epilogue is taken."""
+
+    shape: tuple
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.kernel_init, self.shape)
+
+
+class _FrozenFoldedAffine(nn.Module):
+    """FrozenBatchNorm's four tensors, returned folded to (scale, shift)
+    instead of applied — the Pallas residual epilogue applies them in-kernel.
+    Named "FrozenBatchNorm_0" to match get_norm's auto-naming."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.ones
+        zinit = nn.initializers.zeros
+        gamma = self.variable("frozen", "scale", init, None, (self.features,)).value
+        beta = self.variable("frozen", "bias", zinit, None, (self.features,)).value
+        mean = self.variable("frozen", "mean", zinit, None, (self.features,)).value
+        var = self.variable("frozen", "var", init, None, (self.features,)).value
+        scale = gamma * lax.rsqrt(var + self.eps)
+        shift = beta - mean * scale
+        return scale, shift
+
+
 class Conv2D(nn.Module):
     """Conv + optional norm + optional activation (NHWC, HWIO kernels).
 
     ``use_bias`` defaults to "no norm => bias", matching D2 convention.
+
+    ``residual``: when passed to ``__call__``, the layer computes
+    ``relu(norm(conv(x)) + residual)`` — and, for the 1x1/stride-1/FrozenBN
+    shape every ResNet bottleneck tail has, rides a single Pallas kernel
+    (ops/pallas/fused_residual.py) instead of letting XLA spill the conv
+    result to HBM before a separate add+relu kernel.
     """
 
     features: int
@@ -137,8 +178,37 @@ class Conv2D(nn.Module):
     bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        residual: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         bias = self.use_bias if self.use_bias is not None else self.norm == ""
+        if residual is not None:
+            assert self.activation == "", (
+                "residual implies the trailing relu; set activation=''"
+            )
+            from ..ops.pallas.fused_residual import (
+                fused_conv1x1_bn_add_relu,
+                fused_epilogue_supported,
+            )
+
+            if fused_epilogue_supported(
+                self.kernel_size, self.strides, self.groups,
+                self.dilation, self.norm, bias,
+            ):
+                kernel = _ConvKernel(
+                    (1, 1, x.shape[-1], self.features),
+                    self.kernel_init,
+                    name="conv",
+                )()
+                scale, shift = _FrozenFoldedAffine(
+                    self.features, name="FrozenBatchNorm_0"
+                )()
+                return fused_conv1x1_bn_add_relu(
+                    x, kernel.astype(self.dtype), scale, shift, residual
+                )
         padding = self.padding
         if padding == "SAME" and self.strides > 1:
             # Explicit symmetric padding: XLA "SAME" with stride 2 pads
@@ -162,6 +232,8 @@ class Conv2D(nn.Module):
         norm = get_norm(self.norm, self.features, self.dtype)
         if norm is not None:
             x = norm(x, train=train)
+        if residual is not None:
+            return nn.relu(x + residual)
         if self.activation:
             x = get_activation(self.activation)(x)
         return x
