@@ -38,12 +38,22 @@ def read_darknet_blob(path: str, skip_header: bool = True) -> np.ndarray:
 def convert_darknet_weights(
     blob: np.ndarray, manifest: Dict
 ) -> Tuple[Dict[str, Any], int]:
-    """(variables tree {"params", "batch_stats"...}, floats consumed).
+    """(variables tree {"params", "batch_stats", "frozen"...}, floats consumed).
 
-    BN stats go to ``batch_stats`` (darknet BN is trainable BN here).
+    Per-node ``norm`` values:
+      * ``"bn"``     -> trainable BN: beta/gamma to ``params/<p>/BatchNorm_0``
+        (outer wrapper + inner flax BatchNorm share the auto-name), running
+        mean/var to ``batch_stats``;
+      * ``"frozen"`` -> FrozenBN (the default backbone norm): all four
+        tensors to ``frozen/<p>/FrozenBatchNorm_0``;
+      * absent       -> plain conv bias.
+    The darknet binary layout is identical for both BN flavors (beta, gamma,
+    rolling_mean, rolling_var, then OIHW weights) — the flavor only decides
+    WHERE the tensors land in this framework's tree.
     """
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
+    frozen: Dict[str, Any] = {}
 
     def set_in(tree, path, v):
         node = tree
@@ -67,17 +77,29 @@ def convert_darknet_weights(
         cin, cout, k = node["in_channels"], node["out_channels"], node["size"]
         bias = take(cout)
         norm = manifest.get("norm", {}).get(node["name"])
-        if norm:
+        if norm == "bn":
             gamma = take(cout)
-            # Our BatchNorm module scope: <conv>/BatchNorm_0
-            bn_path = path + ["BatchNorm_0"]
+            mean = take(cout)
+            var = take(cout)
+            # Wrapper BatchNorm module + inner flax nn.BatchNorm — both
+            # auto-named, so the tree nests <p>/BatchNorm_0/BatchNorm_0
+            # (same doubling as GroupNorm in convert/solo.py).
+            bn_path = path + ["BatchNorm_0", "BatchNorm_0"]
             set_in(params, bn_path + ["bias"], bias)
             set_in(params, bn_path + ["scale"], gamma)
-            if norm == "bn":
-                mean = take(cout)
-                var = take(cout)
-                set_in(batch_stats, bn_path + ["mean"], mean)
-                set_in(batch_stats, bn_path + ["var"], var)
+            set_in(batch_stats, bn_path + ["mean"], mean)
+            set_in(batch_stats, bn_path + ["var"], var)
+        elif norm == "frozen":
+            gamma = take(cout)
+            mean = take(cout)
+            var = take(cout)
+            fb_path = path + ["FrozenBatchNorm_0"]
+            set_in(frozen, fb_path + ["bias"], bias)
+            set_in(frozen, fb_path + ["scale"], gamma)
+            set_in(frozen, fb_path + ["mean"], mean)
+            set_in(frozen, fb_path + ["var"], var)
+        elif norm:
+            raise ValueError(f"unknown manifest norm '{norm}' at {node['name']}")
         else:
             set_in(params, path + ["conv", "bias"], bias)
         w = take(cin * cout * k * k).reshape(cout, cin, k, k)
@@ -86,6 +108,8 @@ def convert_darknet_weights(
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats
+    if frozen:
+        out["frozen"] = frozen
     return out, start
 
 
@@ -111,3 +135,27 @@ def emit_manifest_nodes(variables: Dict) -> List[Dict]:
 
     walk(variables["params"], [])
     return nodes
+
+
+def emit_manifest(variables: Dict) -> Dict:
+    """Full manifest skeleton from a built model: conv nodes in tree order
+    PLUS the per-node norm map derived from the model's own collections
+    ("bn" where the node declares a trainable BatchNorm in params, "frozen"
+    where FrozenBN tensors live in the frozen collection) — so hand-written
+    manifests cannot mis-route BN stats."""
+
+    def subtree(tree, path):
+        for k in path:
+            tree = tree.get(k, {}) if isinstance(tree, dict) else {}
+        return tree if isinstance(tree, dict) else {}
+
+    nodes = emit_manifest_nodes(variables)
+    norm = {}
+    frozen = variables.get("frozen", {})
+    for n in nodes:
+        path = n["name"].split("/")
+        if "BatchNorm_0" in subtree(variables["params"], path):
+            norm[n["name"]] = "bn"
+        elif "FrozenBatchNorm_0" in subtree(frozen, path):
+            norm[n["name"]] = "frozen"
+    return {"nodes": nodes, "norm": norm}

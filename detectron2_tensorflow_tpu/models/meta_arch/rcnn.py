@@ -635,9 +635,9 @@ class _RCNNDrivers:
             mask_logits = self.module.apply(
                 variables, mask_in, train=False, method="mask"
             )
-            detections = self.roi.mask_inference(
-                mask_logits.astype(jnp.float32), detections
-            )
+            # Raw dtype in: mask_inference gathers the class channel before
+            # widening to f32 (see roi_heads.mask_inference).
+            detections = self.roi.mask_inference(mask_logits, detections)
 
         if self.keypoint_on:
             kp_in = self.roi.pool_keypoint_features(
@@ -688,9 +688,9 @@ class _RCNNDrivers:
             mask_logits = self.module.apply(
                 variables, mask_in, train=False, method="mask"
             )
-            detections = self.roi.mask_inference(
-                mask_logits.astype(jnp.float32), detections
-            )
+            # Raw dtype in: mask_inference gathers the class channel before
+            # widening to f32 (see roi_heads.mask_inference).
+            detections = self.roi.mask_inference(mask_logits, detections)
         if self.keypoint_on:
             kp_in = self.roi.pool_keypoint_features(
                 features, detections.boxes, storage_pack,

@@ -373,16 +373,20 @@ class StandardROIHeads:
     def mask_inference(
         self, mask_logits: jnp.ndarray, detections: Instances
     ) -> Instances:
-        """Gather each detection's class channel -> pred_masks [B, D, 2S, 2S]."""
+        """Gather each detection's class channel -> pred_masks [B, D, 2S, 2S].
+
+        Takes the head's RAW-dtype logits ([B*D, 2S, 2S, K], typically bf16)
+        and gathers the class channel BEFORE widening to f32: casting first
+        materialized the full K-channel tensor in f32 (at serving shape
+        [32*100, 28, 28, 80] that is 802 MB — its reshape + layout copy alone
+        measured 0.20 ms/img, ~3% of inference)."""
         b, d = detections.pred_classes.shape
-        out = mask_logits.reshape(
-            (b, d) + mask_logits.shape[1:]
-        )  # [B, D, 2S, 2S, K]
         if self.cls_agnostic_mask:
-            sel = out[..., 0]
+            sel = mask_logits[..., 0]
         else:
             cls = jnp.clip(detections.pred_classes, 0, self.num_classes - 1)
             sel = jnp.take_along_axis(
-                out, cls[:, :, None, None, None], axis=-1
+                mask_logits, cls.reshape(-1)[:, None, None, None], axis=-1
             )[..., 0]
+        sel = sel.reshape((b, d) + mask_logits.shape[1:3]).astype(jnp.float32)
         return detections.replace(pred_masks=jax.nn.sigmoid(sel))

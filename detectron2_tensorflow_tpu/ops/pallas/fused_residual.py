@@ -1,5 +1,12 @@
 """Fused 1x1-conv + FrozenBN + residual-add + ReLU (bottleneck epilogue).
 
+STATUS: OPT-IN ONLY (D2TPU_ENABLE_FUSED_EPILOGUE=1) — measured a NET
+REGRESSION at the flagship serving shape; see fused_epilogue_supported for
+the numbers. Kept as a documented dead end: the per-kernel win is real but
+the Mosaic custom call pins operands to the default layout, and the layout
+copies XLA must then insert around every bottleneck tail cost more than the
+fused epilogue saves.
+
 The tail of every ResNet bottleneck block is
 ``relu(frozen_bn(conv1x1(x)) + shortcut)``.  XLA on TPU emits the conv and
 the add+relu as SEPARATE kernels (the residual add has a second
@@ -195,6 +202,19 @@ def fused_epilogue_supported(
     conv takes the unfused path (where the residual add then fails loudly
     on the shape mismatch instead of silently computing the unpadded
     result)."""
+    import os
+
+    # MEASURED NET REGRESSION — opt-in only. The kernel does win the
+    # conv->add+relu HBM round trip in isolation, but as a Mosaic custom
+    # call it pins its operands to the DEFAULT layout, while XLA gives the
+    # producing convs batch-minormost {3,0,2,1} layouts: every bottleneck
+    # tail then pays full-feature-map layout copies (copy.885/.888/... in
+    # the serving profile, ~0.3 ms/img at batch 32). Mask R-CNN R50-FPN
+    # 800x1344 bf16 serving on v5e: 166.3 img/s with the kernel OFF vs
+    # 138.5 with it ON (driver bench, best-of-3). Revisit if Mosaic ever
+    # honors custom layouts on pallas_call operands.
+    if not os.environ.get("D2TPU_ENABLE_FUSED_EPILOGUE"):
+        return False
     return (
         kernel_size == 1
         and strides == 1

@@ -87,20 +87,48 @@ def test_convert_solo_covers_leftovers():
     converted, leftovers = convert_solo_weights(sd, cfg)
     assert leftovers == [], leftovers[:8]
 
-    # The converted tree must merge into a real SOLOv2 model (shape check).
-    # NOTE: mmdet tower conv1 input widths differ slightly (coordconv channel
-    # placement); we only check the overall merge of matching leaves here.
+    # The converted tree must merge into a real SOLOv2 model with EXACT
+    # shape agreement on every leaf — this is the mmdet tower-wiring
+    # contract (ROUND2 #6): per the mmdet/original-SOLO `_init_layers`
+    # (SOLOv2Head), the KERNEL tower's conv0 takes in_channels+2 (the
+    # coordconv channels survive the grid resize), the CATE tower's conv0
+    # takes in_channels only (`cate_feat = kernel_feat[:, :-2]` drops the
+    # coords), and the mask-feature branch appends coords only on its
+    # coarsest level's first conv. Our head wires the same widths; a
+    # disagreement would fail the shape assert below loudly.
     model = build_model(cfg)
     batch = {"image": jnp.zeros((1, 64, 64, 3)), "image_size": jnp.array([[64, 64]])}
     variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch)
-    # structure: every converted subtree path exists in the model tree
+
     def paths(tree, prefix=()):
         for k, v in tree.items():
             if isinstance(v, dict):
                 yield from paths(v, prefix + (k,))
             else:
-                yield prefix + (k,)
-    model_paths = set(paths(variables["params"]))
-    conv_paths = set(paths(converted["params"]))
-    missing = {p for p in conv_paths if p not in model_paths}
+                yield prefix + (k,), tuple(v.shape)
+
+    model_shapes = dict(paths(variables["params"]))
+    conv_shapes = dict(paths(converted["params"]))
+    missing = {p for p in conv_shapes if p not in model_shapes}
     assert missing == set(), sorted(missing)[:5]
+    mismatched = {
+        p: (s, model_shapes[p])
+        for p, s in conv_shapes.items()
+        if s != model_shapes[p]
+    }
+    assert mismatched == {}, list(mismatched.items())[:5]
+
+    # Pin the coordconv widths explicitly (the contract itself, so a future
+    # head refactor cannot silently re-wire the towers).
+    p = variables["params"]["head"]
+    assert p["kernel_tower_0"]["conv"]["kernel"].shape[2] == 256 + 2
+    assert p["cate_tower_0"]["conv"]["kernel"].shape[2] == 256
+    f_last = cfg.MODEL.SOLO.MASK_FEATURE_IN_FEATURES[-1]
+    assert p[f"mask_{f_last}_0"]["conv"]["kernel"].shape[2] == 256 + 2
+
+    # The converted weights must APPLY: overlay onto init variables and run
+    # a jitted forward (catches dtype/collection mistakes, not just shapes).
+    real = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    merged = apply_converted(real, converted)
+    out = jax.jit(model.predict)(merged, batch)
+    assert np.isfinite(np.asarray(out.scores)).all()

@@ -3,12 +3,21 @@
 The Pallas kernel runs in interpret mode here (CPU CI); the real-chip
 equivalence is covered by the bench/profile runs and the golden values are
 the unfused XLA composition itself.
+
+The fused path is OPT-IN (measured net regression at the serving shape —
+see ops/pallas/fused_residual.py); these tests force it on so the kernel
+and its Conv2D wiring stay correct while parked.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _enable_fused(monkeypatch):
+    monkeypatch.setenv("D2TPU_ENABLE_FUSED_EPILOGUE", "1")
 
 from detectron2_tensorflow_tpu.ops.pallas.fused_residual import (
     _launch,
