@@ -30,6 +30,14 @@ HEADS = {
     "dc5": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_DC5_1x.yaml", (800, 1344), 8),
     "fpn": ("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml", (800, 1344), 8),
     "dconv": ("configs/Misc/mask_rcnn_R_50_FPN_1x_dconv_c3-c5.yaml", (800, 1344), 8),
+    # VERDICT r2 #8: panoptic + keypoint rows (D2 V100 anchors: panoptic
+    # R50 1x 0.063 s/im = 15.9 img/s; keypoint R50 1x 0.083 s/im = 12.0).
+    "panoptic": (
+        "configs/COCO-PanopticSegmentation/panoptic_fpn_R_50_1x.yaml",
+        (800, 1344), 8,
+    ),
+    "keypoint": ("configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml",
+                 (800, 1344), 8),
 }
 
 
