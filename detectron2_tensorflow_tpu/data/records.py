@@ -167,6 +167,16 @@ class TFRecordDataset:
         self.files = sorted(_glob.glob(file_pattern))
         assert self.files, f"no records match {file_pattern}"
         self.load_masks = load_masks
+        # Class-name vocabulary: build_records.py writes category_map.json
+        # next to the shards; per-category AP tables
+        # (EVAL.INCLUDE_METRICS_PER_CATEGORY, reference evaluation.py:107)
+        # need the names, which the records themselves don't carry.
+        self.class_names = None
+        cat_path = os.path.join(os.path.dirname(self.files[0]),
+                                "category_map.json")
+        if os.path.exists(cat_path):
+            with open(cat_path) as fp:
+                self.class_names = json.load(fp).get("thing_classes")
         self._index: List[tuple] = []  # (file_idx, offset, length)
         for fi, f in enumerate(self.files):
             for off, length in codec.index_records(f):

@@ -127,6 +127,16 @@ def test_tfrecords_roundtrip(tmp_path):
     assert len(paths) == 2
     back = TFRecordDataset(str(tmp_path / "train.record-*"))
     assert len(back) == 4
+    assert back.class_names is None  # no category_map.json sidecar yet
+    import json as _json
+
+    (tmp_path / "category_map.json").write_text(
+        _json.dumps({"thing_classes": ["cat", "dog"]})
+    )
+    # Sidecar vocabulary feeds per-category AP (EVAL.INCLUDE_METRICS_PER_CATEGORY).
+    assert TFRecordDataset(
+        str(tmp_path / "train.record-*")
+    ).class_names == ["cat", "dog"]
     ids = sorted(back[i]["image_id"] for i in range(4))
     assert ids == [0, 1, 2, 3]
     s0 = next(back[i] for i in range(4) if back[i]["image_id"] == 0)

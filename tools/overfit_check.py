@@ -46,6 +46,11 @@ def get_cfg_for(arch: str):
         cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 4
         cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS = (128,) * 4
         cfg.TEST.KEYPOINT_OKS_SIGMAS = [0.05] * 4
+    elif arch == "cls_agnostic":
+        # Misc/mask_rcnn_R_50_FPN_1x_cls_agnostic: single shared box
+        # regressor + single-channel mask head (reference fast_rcnn.py
+        # cls_agnostic_bbox_reg branch; D2 Misc config).
+        cfg.merge_from_file("configs/Misc/mask_rcnn_R_50_FPN_1x_cls_agnostic.yaml")
     elif arch == "relation":
         cfg.merge_from_file("configs/Misc/relation_rcnn_R_50_FPN_1x.yaml")
         # Exercise the full Relation-Networks stage including the learned
@@ -100,7 +105,7 @@ def overfit_cfg(arch: str):
     cfg.INPUT = tiny.INPUT
     cfg.TRANSFORM.RESIZE.MINI_MASK_SIZE = 28
     if arch in ("rcnn", "retinanet", "cascade", "dconv", "keypoint",
-                "relation"):
+                "relation", "cls_agnostic"):
         # Anchors scaled to the tiny input (the YAML's [[32]..[512]] ladder
         # is tuned for 800px; 10-30px synthetic boxes need smaller anchors).
         cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[8], [16], [32], [64], [128]]
