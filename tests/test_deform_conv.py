@@ -63,3 +63,39 @@ def test_resnet_with_deform_stage():
     assert "conv_offset" in variables["params"]["res3"]["0"]["conv2"]
     out = jax.jit(lambda v, x: module.apply(v, x))(variables, x)
     assert out["res3"].shape == (1, 8, 8, 512)
+
+
+def test_batched_equals_per_image_with_real_offsets():
+    """The folded-batch gather (row_base into one [B*H*W, C] plane) must
+    keep images isolated: a batch-2 forward equals two batch-1 forwards,
+    with REAL nonzero offsets including samples pushed out of bounds."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 10, 12, 6)).astype(np.float32))
+    m = DeformConv2D(features=5, kernel_size=3, modulated=True)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # Non-trivial offset field: random kernel + a bias large enough to push
+    # some taps outside the map (zero-pad semantics must hold per image).
+    p = variables["params"]
+    ok = p["conv_offset"]["kernel"]
+    p = jax.tree_util.tree_map(lambda a: a, p)
+    p["conv_offset"]["kernel"] = jnp.asarray(
+        rng.standard_normal(ok.shape).astype(np.float32) * 0.5
+    )
+    p["conv_offset"]["bias"] = jnp.asarray(
+        rng.uniform(-4, 4, p["conv_offset"]["bias"].shape).astype(np.float32)
+    )
+    variables = {"params": p}
+    full = m.apply(variables, x)
+    one0 = m.apply(variables, x[:1])
+    one1 = m.apply(variables, x[1:])
+    np.testing.assert_allclose(np.asarray(full[0]), np.asarray(one0[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(full[1]), np.asarray(one1[0]), atol=1e-4)
+    assert np.isfinite(np.asarray(full)).all()
+
+    # Gradients flow through offsets, modulation, and the kernel.
+    def loss(params):
+        return jnp.sum(m.apply({"params": params}, x) ** 2)
+
+    g = jax.grad(loss)(p)
+    assert float(jnp.abs(g["conv_offset"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(g["kernel"]).sum()) > 0
