@@ -11,6 +11,11 @@ TPU-native equivalents:
     (``jax.export``) runnable from any PJRT runtime, optionally a jax2tf
     SavedModel when tensorflow is importable, plus label_index.map and
     model_info.json exactly like the reference.
+
+Not exported: test-time augmentation. TTA (engine/tta.py) is a per-image
+host-side loop over scales/flips — upstream D2 semantics — and has no
+batched fixed-shape serving form; export the plain predict signature and
+apply TTA in the client if needed.
 """
 
 from __future__ import annotations

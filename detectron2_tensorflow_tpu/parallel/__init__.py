@@ -191,10 +191,15 @@ def shard_state(mesh: Mesh, tree: Any) -> Any:
     Multi-host supports the data-parallel configuration (model axis 1 —
     use :func:`replicate`); assembling cross-host model-sharded params
     from full host copies would need per-shard slicing here first."""
-    assert jax.process_count() == 1 or mesh.shape.get("model", 1) == 1, (
-        "multi-host tensor parallelism: shard_state needs per-shard "
-        "assembly; run multi-host with PARALLEL.MODEL_AXIS=1"
-    )
+    if jax.process_count() > 1 and mesh.shape.get("model", 1) != 1:
+        # Reachable from user config (PARALLEL.MODEL_AXIS>1 under
+        # jax.distributed) — raise a real error, not an assert.
+        raise ValueError(
+            "multi-host tensor parallelism is not supported: shard_state "
+            "would need per-shard assembly of cross-host model-sharded "
+            "params; set PARALLEL.MODEL_AXIS=1 for multi-host runs "
+            "(tensor parallelism is single-host only)"
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, leaf_sharding(mesh, x)), tree
     )

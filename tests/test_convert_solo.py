@@ -50,16 +50,18 @@ def synth_mmdet_solov2_state(cfg, rng):
     for i, cin_l in enumerate([256, 512, 1024, 2048]):
         conv(f"neck.lateral_convs.{i}.conv", cin_l, 256, 1)
         conv(f"neck.fpn_convs.{i}.conv", 256, 256, 3)
-    # towers
+    # towers (mmdet SOLOv2Head: seg_feat_channels = MASK_KERNEL_CONVS_DIM,
+    # 512 for R50 1x; cate tower conv0 in = 256, kernel tower conv0 in =
+    # 256+2 coordconv)
     s = cfg.MODEL.SOLO
+    d = s.MASK_KERNEL_CONVS_DIM
     for i in range(s.MASK_KERNEL_NUM_CONVS):
-        cin_t = 256 if i > 0 else 256
-        conv(f"bbox_head.cate_convs.{i}.conv", 256 if i else 256, 256, 3, bias=False)
-        gn(f"bbox_head.cate_convs.{i}.gn", 256)
-        conv(f"bbox_head.kernel_convs.{i}.conv", 258 if i == 0 else 256, 256, 3, bias=False)
-        gn(f"bbox_head.kernel_convs.{i}.gn", 256)
-    conv("bbox_head.solo_cate", 256, cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES, 3)
-    conv("bbox_head.solo_kernel", 256, s.MASK_KERNEL_SIZE**2 * s.MASK_FEATURE_OUT_DIMS, 3)
+        conv(f"bbox_head.cate_convs.{i}.conv", 256 if i == 0 else d, d, 3, bias=False)
+        gn(f"bbox_head.cate_convs.{i}.gn", d)
+        conv(f"bbox_head.kernel_convs.{i}.conv", 258 if i == 0 else d, d, 3, bias=False)
+        gn(f"bbox_head.kernel_convs.{i}.gn", d)
+    conv("bbox_head.solo_cate", d, cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES, 3)
+    conv("bbox_head.solo_kernel", d, s.MASK_KERNEL_SIZE**2 * s.MASK_FEATURE_OUT_DIMS, 3)
     # mask feature branch
     import math
     common = int(math.log2(s.MASK_FEATURE_COMMON_STRIDE))
