@@ -197,10 +197,12 @@ def main():
     # training number driver-visible). Best-effort: appended as extra keys on
     # the SAME single JSON line so the one-line protocol is preserved; on any
     # failure the inference line still prints alone.
-    try:
-        # Batch ladder: 16 is the measured sweet spot (48.8 img/s vs 46.6 at
-        # 8 on v5e-1; 20/24 regress or OOM), 8 is the safe fallback.
-        for train_batch in ("16", "8"):
+    # Batch ladder: 16 is the measured sweet spot (48.8 img/s vs 46.6 at
+    # 8 on v5e-1; 20/24 regress or OOM), 8 is the safe fallback. The try
+    # sits INSIDE the loop so a hung/timed-out batch-16 subprocess (a
+    # faulted TPU worker mid-run) still falls through to batch 8.
+    for train_batch in ("16", "8"):
+        try:
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -214,8 +216,9 @@ def main():
                 record["train_vs_baseline"] = t["vs_baseline"]
                 record["train_batch"] = int(train_batch)
                 break
-    except Exception as e:  # noqa: BLE001 — never lose the primary metric
-        sys.stderr.write(f"train bench skipped: {e}\n")
+        except Exception as e:  # noqa: BLE001 — never lose the primary metric
+            sys.stderr.write(f"train bench attempt b{train_batch} failed: {e}\n")
+            time.sleep(RECOVERY_SECONDS)  # worker may need a restart window
     print(json.dumps(record))
 
 

@@ -38,6 +38,9 @@ HEADS = {
     ),
     "keypoint": ("configs/COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml",
                  (800, 1344), 8),
+    "semantic": ("configs/COCO-SemanticSegmentation/semantic_R_50_FPN_1x.yaml",
+                 (800, 1344), 8),
+    "rpn": ("configs/COCO-Detection/rpn_R_50_FPN_1x.yaml", (800, 1344), 8),
 }
 
 
@@ -69,7 +72,9 @@ def measure(name: str) -> dict:
     predict = jax.jit(model.predict)
 
     def sync(o):
-        return float(jax.device_get(o.scores.sum()))
+        # scores for detectors, sem_seg argmax for SemanticSegmentor.
+        field = o.scores if getattr(o, "scores", None) is not None else o.sem_seg
+        return float(jax.device_get(field.sum()))
 
     sync(predict(variables, batch))  # compile
     iters = 20
