@@ -11,6 +11,7 @@ selected at build time, per-image work is vmap, rng is threaded explicitly.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -345,11 +346,12 @@ class _RCNNDrivers:
         )
 
     def run_box(self, variables, features, boxes, stage, train, grad_scale=1.0,
-                tape=None, boxes_valid=None, storage_pack=None):
+                tape=None, boxes_valid=None, storage_pack=None, pooled=None):
         tape = tape or StatsTape(variables)
-        pooled = self.roi.pool_box_features(
-            features, boxes, storage_pack, valid=boxes_valid
-        )
+        if pooled is None:
+            pooled = self.roi.pool_box_features(
+                features, boxes, storage_pack, valid=boxes_valid
+            )
         if grad_scale != 1.0:
             pooled = scale_gradient(pooled, grad_scale)
         kwargs = {}
@@ -487,6 +489,7 @@ class _RCNNDrivers:
 
         inst_losses = {}
         roi_feats = None
+        pre_pooled = {}
         if self.is_cascade:
             boxes = sampled.boxes
             gt_classes, gt_boxes = sampled.gt_classes, sampled.gt_boxes
@@ -508,9 +511,37 @@ class _RCNNDrivers:
                     gt_classes, gt_boxes, _ = self.roi._rematch(k + 1, boxes, batch)
                     valid = sampled.valid  # refined boxes keep slot validity
         else:
+            # Fuse the box/mask/keypoint pools into one op with a chained
+            # Pallas backward — independent pools autodiff into one full
+            # f32 gradient plane EACH (zeros + add per extra set; ~1.0
+            # ms/img of pure HBM traffic at the Mask R-CNN train shape).
+            # See poolers.pool_multi_from_storage.
+            fused = []
+            if (storage_pack is not None and not self.is_res5
+                    and os.environ.get("D2TPU_FUSED_POOL", "1") != "0"):
+                if self.mask_on:
+                    fused.append(("mask", self.roi.mask_pooler))
+                if self.keypoint_on:
+                    fused.append(("keypoint", self.roi.keypoint_pooler))
+            if fused:
+                m = self.roi.mask_slots
+            if fused:
+                outs = self.roi.pool_multi(
+                    [(self.roi.box_pooler, sampled.boxes, sampled.valid)]
+                    + [
+                        (p, sampled.boxes[:, :m], sampled.valid[:, :m])
+                        for _, p in fused
+                    ],
+                    storage_pack,
+                )
+                pre_pooled = {"box": outs[0]}
+                pre_pooled.update(
+                    {name: o for (name, _), o in zip(fused, outs[1:])}
+                )
             scores, ds, roi_feats = self.run_box(
                 variables, features, sampled.boxes, 0, True, tape=tape,
                 boxes_valid=sampled.valid, storage_pack=storage_pack,
+                pooled=pre_pooled.get("box"),
             )
             inst_losses.update(self.roi.box_losses(scores, ds, sampled))
             if self.dup_on:
@@ -531,10 +562,12 @@ class _RCNNDrivers:
                 # Bg slots are REAL proposals and stay pooled: with a
                 # norm-equipped mask head their features enter batch stats,
                 # and only the loss (masked by is_fg & valid) ignores them.
-                mask_in = self.roi.pool_mask_features(
-                    features, sampled.boxes[:, :m], storage_pack,
-                    valid=sampled.valid[:, :m],
-                )
+                mask_in = pre_pooled.get("mask")
+                if mask_in is None:
+                    mask_in = self.roi.pool_mask_features(
+                        features, sampled.boxes[:, :m], storage_pack,
+                        valid=sampled.valid[:, :m],
+                    )
             mask_logits = tape.apply(
                 self.module, variables, mask_in, train=True, method="mask"
             )
@@ -544,10 +577,12 @@ class _RCNNDrivers:
 
         if self.keypoint_on:
             m = self.roi.mask_slots
-            kp_in = self.roi.pool_keypoint_features(
-                features, sampled.boxes[:, :m], storage_pack,
-                valid=sampled.valid[:, :m],
-            )
+            kp_in = pre_pooled.get("keypoint")
+            if kp_in is None:
+                kp_in = self.roi.pool_keypoint_features(
+                    features, sampled.boxes[:, :m], storage_pack,
+                    valid=sampled.valid[:, :m],
+                )
             kp_logits = tape.apply(
                 self.module, variables, kp_in, train=True, method="keypoint"
             )

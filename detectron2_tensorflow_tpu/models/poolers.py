@@ -444,6 +444,71 @@ def pool_from_storage(
     return one(storage, starts, wy, wx)
 
 
+def pool_multi_from_storage(
+    storage: jnp.ndarray,
+    meta: StorageMeta,
+    requests: Sequence[dict],
+    use_pallas: bool | None = None,
+):
+    """Pool several ROI sets from ONE shared storage plane in a single
+    differentiable op with a chained backward.
+
+    Each request: ``dict(boxes, output_size, sampling_ratio,
+    canonical_box_size=224, canonical_level=4, valid=None)`` — the same
+    parameters :func:`pool_from_storage` takes. Returns a tuple of pooled
+    arrays, one per request.
+
+    Why not independent :func:`pool_from_storage` calls: autodiff of k
+    pools of the same plane materializes k full f32 gradient pyramids that
+    XLA zero-initializes and adds — at the Mask R-CNN train shape the box+
+    mask pair costs ~1.0 ms/img of pure HBM traffic (a [16, 600, 336, 256]
+    f32 plane is 5.2 GB). Here the Pallas RMW backwards chain through one
+    accumulator plane (ops/pallas/roi_patch.py roi_patch_pool_multi).
+    The reference's pattern being fused: the per-head box/mask/keypoint
+    pooler calls of roi_heads.py:490,579.
+    """
+    batched = storage.ndim == 4
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and storage.dtype == jnp.bfloat16
+        )
+    if not use_pallas:
+        # XLA path: gradients are exact-autodiff dynamic-slice transposes;
+        # nothing to fuse across calls.
+        return tuple(
+            pool_from_storage(
+                storage, meta, r["boxes"], r["output_size"],
+                r["sampling_ratio"], r.get("canonical_box_size", 224),
+                r.get("canonical_level", 4), use_pallas=False,
+                valid=r.get("valid"),
+            )
+            for r in requests
+        )
+
+    specs = []
+    for r in requests:
+        plan = functools.partial(
+            plan_rois,
+            meta,
+            output_size=r["output_size"],
+            sampling_ratio=r["sampling_ratio"],
+            canonical_box_size=r.get("canonical_box_size", 224),
+            canonical_level=r.get("canonical_level", 4),
+        )
+        valid = r.get("valid")
+        if valid is None:
+            specs.append((jax.vmap(plan) if batched else plan)(r["boxes"]))
+        else:
+            plan_v = lambda b, v, plan=plan: plan(b, valid=v)
+            specs.append(
+                (jax.vmap(plan_v) if batched else plan_v)(r["boxes"], valid)
+            )
+
+    from ..ops.pallas.roi_patch import roi_patch_pool_multi
+
+    return roi_patch_pool_multi(storage, tuple(specs))
+
+
 def plan_pooling(
     features: List[jnp.ndarray],
     boxes: jnp.ndarray,

@@ -179,6 +179,29 @@ class StandardROIHeads:
             pooled = pooler.pool(storage, meta, boxes, valid)
         return pooled.reshape((-1,) + pooled.shape[2:])
 
+    def pool_multi(self, requests, storage_pack):
+        """Pool several ROI sets from the shared storage with ONE fused-
+        backward op (see poolers.pool_multi_from_storage — deletes a
+        full-plane f32 zeros + add per extra set in the train step).
+
+        ``requests``: (pooler, boxes [B, N, 4], valid [B, N]) triples.
+        Returns one [B*N, S, S, C] array per request.
+        """
+        from ..poolers import pool_multi_from_storage
+
+        storage, meta = storage_pack
+        reqs = [
+            dict(
+                boxes=b, valid=v, output_size=p.output_size,
+                sampling_ratio=p.sampling_ratio,
+                canonical_box_size=p.canonical_box_size,
+                canonical_level=p.canonical_level,
+            )
+            for (p, b, v) in requests
+        ]
+        outs = pool_multi_from_storage(storage, meta, reqs)
+        return [o.reshape((-1,) + o.shape[2:]) for o in outs]
+
     def pool_box_features(self, features: Dict, boxes: jnp.ndarray,
                           storage_pack=None, valid=None) -> jnp.ndarray:
         """features: dict of [B, H, W, C]; boxes [B, N, 4] -> [B*N, S, S, C].

@@ -430,12 +430,20 @@ def _make_bwd_kernel(group):
 
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "interpret"))
-def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
+def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False,
+                       init=None):
     """Accumulate per-ROI patch gradients into a fresh f32 pyramid.
 
     Batched: g [B, N, S, S, C], starts [B, N, 3], wy/wx [B, N, S, P],
     out_shape (B, Htot, Wm, C). Unbatched 3-/2-d inputs are promoted to a
     batch of one.
+
+    ``init`` (optional f32 plane of ``out_shape``): accumulate INTO this
+    plane instead of a fresh zeros one (the buffer is donated via the
+    kernel's input-output alias). Chaining several ROI sets' backwards
+    through one accumulator this way deletes a full-plane zeros broadcast
+    and a full-plane add per extra set — pure HBM traffic (a 16x600x336x256
+    plane is 5.2 GB; see roi_patch_pool_multi).
 
     Accumulation is order-independent, so ROIs are re-ordered for the
     grouped kernel: sort by region (row, tx), then deal the sorted order
@@ -450,6 +458,8 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
     if squeeze:
         g, starts, wy, wx = (x[None] for x in (g, starts, wy, wx))
         out_shape = (1,) + tuple(out_shape)
+        if init is not None:
+            init = init[None]
     bsz, n, s, p = wy.shape
     c = out_shape[-1]
     # f32 read + write-back slots per member (see scratch_shapes below).
@@ -507,7 +517,12 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
         [rows, txs, cls, jnp.repeat(hazard, group, axis=1)], axis=0
     )  # [4, B, m]
 
-    zeros = jnp.zeros(out_shape, jnp.float32)
+    if init is None:
+        acc0 = jnp.zeros(out_shape, jnp.float32)
+    else:
+        assert init.shape == tuple(out_shape) and init.dtype == jnp.float32, (
+            init.shape, init.dtype, out_shape)
+        acc0 = init
 
     def run(starts4, g, wy, wx, zeros):
         bsz = g.shape[0]  # LOCAL batch under shard_map
@@ -552,7 +567,7 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False):
 
     out = _maybe_shard_map(
         run, in_batch_dims=(1, 0, 0, 0, 0), out_batch_dim=0
-    )(starts4, g, wy, wx, zeros)
+    )(starts4, g, wy, wx, acc0)
     return out[0] if squeeze else out
 
 
@@ -586,6 +601,49 @@ def _bwd(res, g):
 
 
 roi_patch_interpolate_diff.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def roi_patch_pool_multi(stacked, specs, interpret=False):
+    """Pool SEVERAL ROI sets from one storage plane, with a fused backward.
+
+    ``specs``: tuple of ``(starts, wy, wx)`` triples (one per ROI set; the
+    sets may differ in N and S). Returns one pooled array per set.
+
+    The forward is identical to independent :func:`roi_patch_interpolate`
+    calls. The point is the BACKWARD: differentiating k independent pools
+    of the same plane yields k full f32 gradient pyramids that XLA
+    zero-initializes and then adds — at the Mask R-CNN train shape
+    (batch 16, plane [600, 336, 256]) the zeros + add of the box and mask
+    poolers' planes measured 1.0 ms/img of pure HBM traffic, with the
+    box/mask R-CNN heads' pools being the reference pattern
+    (roi_heads.py:490,579). Here the k RMW backwards chain through ONE
+    accumulator plane (``init=`` of :func:`roi_patch_backward`), so no
+    extra plane, no add.
+    """
+    return tuple(
+        roi_patch_interpolate(stacked, st, wy, wx, interpret=interpret)
+        for (st, wy, wx) in specs
+    )
+
+
+def _multi_fwd(stacked, specs, interpret=False):
+    template = jnp.zeros(stacked.shape[:-1] + (0,), stacked.dtype)
+    return roi_patch_pool_multi(stacked, specs, interpret), (template, specs)
+
+
+def _multi_bwd(interpret, res, gs):
+    template, specs = res
+    shape = template.shape[:-1] + (gs[0].shape[-1],)
+    acc = None
+    for g, (starts, wy, wx) in zip(gs, specs):
+        acc = roi_patch_backward(
+            g, starts, wy, wx, out_shape=shape, interpret=interpret, init=acc
+        )
+    return acc.astype(template.dtype), tuple((None, None, None) for _ in specs)
+
+
+roi_patch_pool_multi.defvjp(_multi_fwd, _multi_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -575,3 +575,122 @@ def test_adaptive_sampling_multilevel_matches_d2_oracle():
     )
     got = roi_patch_interpolate(storage, starts, wy, wx, interpret=True)
     np.testing.assert_allclose(np.asarray(got), out, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_pool_multi_fused_backward_matches_independent_interpret():
+    """roi_patch_pool_multi (box 7x7 + mask 14x14 sets sharing one storage
+    plane): forward must equal independent pools; the CHAINED backward
+    (one accumulator plane, init= threading) must equal the sum of the
+    independent sets' storage gradients."""
+    from detectron2_tensorflow_tpu.models.poolers import (
+        ROIPooler,
+        plan_rois,
+        pool_from_storage,
+    )
+    from detectron2_tensorflow_tpu.ops.pallas.roi_patch import (
+        roi_patch_pool_multi,
+    )
+
+    rng = np.random.default_rng(21)
+    B = 2
+    pooler_box = ROIPooler(7, [4, 8, 16, 32], 0, max_image_size=384)
+    pooler_mask = ROIPooler(14, [4, 8, 16, 32], 0, max_image_size=384)
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((B, 64 // 2**i, 96 // 2**i, 32)).astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    boxes_a = jnp.asarray(np.stack([_boxes(rng, n=8) for _ in range(B)]))
+    boxes_b = jnp.asarray(np.stack([_boxes(rng, n=5) for _ in range(B)]))
+    valid_a = jnp.asarray(rng.uniform(size=(B, 8)) > 0.25)
+
+    storage, meta = jax.vmap(
+        lambda *pf: pooler_box.build_storage(list(pf))[0]
+    )(*feats), pooler_box.build_storage([f[0] for f in feats])[1]
+
+    import functools as _ft
+
+    def specs_for(pooler, bx, valid=None):
+        plan = _ft.partial(
+            plan_rois, meta, output_size=pooler.output_size,
+            sampling_ratio=pooler.sampling_ratio,
+            canonical_box_size=pooler.canonical_box_size,
+            canonical_level=pooler.canonical_level,
+        )
+        if valid is None:
+            return jax.vmap(plan)(bx)
+        return jax.vmap(lambda b, v: plan(b, valid=v))(bx, valid)
+
+    spec_a = specs_for(pooler_box, boxes_a, valid_a)
+    spec_b = specs_for(pooler_mask, boxes_b)
+
+    got_a, got_b = roi_patch_pool_multi(storage, (spec_a, spec_b), True)
+    want_a = pool_from_storage(
+        storage, meta, boxes_a, 7, 0, use_pallas=False, valid=valid_a
+    )
+    want_b = pool_from_storage(storage, meta, boxes_b, 14, 0, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.asarray(want_a), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_b), np.asarray(want_b), atol=2e-4, rtol=1e-3
+    )
+
+    # Fused backward: one accumulator plane == sum of independent grads.
+    ga = jnp.asarray(rng.standard_normal(want_a.shape).astype(np.float32))
+    gb = jnp.asarray(rng.standard_normal(want_b.shape).astype(np.float32))
+
+    def loss_multi(st):
+        a, b = roi_patch_pool_multi(st, (spec_a, spec_b), True)
+        return jnp.sum(a * ga) + jnp.sum(b * gb)
+
+    def loss_indep(st):
+        a = pool_from_storage(
+            st, meta, boxes_a, 7, 0, use_pallas=False, valid=valid_a
+        )
+        b = pool_from_storage(st, meta, boxes_b, 14, 0, use_pallas=False)
+        return jnp.sum(a * ga) + jnp.sum(b * gb)
+
+    grad_multi = jax.grad(loss_multi)(storage)
+    grad_indep = jax.grad(loss_indep)(storage)
+    np.testing.assert_allclose(
+        np.asarray(grad_multi), np.asarray(grad_indep), atol=2e-3, rtol=1e-3
+    )
+
+
+def test_pool_multi_from_storage_xla_fallback_matches_independent():
+    """The poolers-level entry point on the XLA path (CPU) must equal
+    independent pool_from_storage calls exactly."""
+    from detectron2_tensorflow_tpu.models.poolers import (
+        ROIPooler,
+        pool_from_storage,
+        pool_multi_from_storage,
+    )
+
+    rng = np.random.default_rng(23)
+    B = 2
+    pooler = ROIPooler(7, [4, 8, 16, 32], 2, max_image_size=384)
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((B, 64 // 2**i, 96 // 2**i, 16)).astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    boxes_a = jnp.asarray(np.stack([_boxes(rng, n=6) for _ in range(B)]))
+    boxes_b = jnp.asarray(np.stack([_boxes(rng, n=4) for _ in range(B)]))
+    storage = jax.vmap(lambda *pf: pooler.build_storage(list(pf))[0])(*feats)
+    meta = pooler.build_storage([f[0] for f in feats])[1]
+
+    outs = pool_multi_from_storage(
+        storage, meta,
+        [
+            dict(boxes=boxes_a, output_size=7, sampling_ratio=2),
+            dict(boxes=boxes_b, output_size=14, sampling_ratio=2),
+        ],
+    )
+    want_a = pool_from_storage(storage, meta, boxes_a, 7, 2, use_pallas=False)
+    want_b = pool_from_storage(storage, meta, boxes_b, 14, 2, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(want_a))
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(want_b))
