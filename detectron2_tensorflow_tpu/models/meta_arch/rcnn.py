@@ -525,7 +525,6 @@ class _RCNNDrivers:
                     fused.append(("keypoint", self.roi.keypoint_pooler))
             if fused:
                 m = self.roi.mask_slots
-            if fused:
                 outs = self.roi.pool_multi(
                     [(self.roi.box_pooler, sampled.boxes, sampled.valid)]
                     + [

@@ -634,6 +634,11 @@ def _multi_fwd(stacked, specs, interpret=False):
 
 def _multi_bwd(interpret, res, gs):
     template, specs = res
+    # All ROI sets pool the SAME storage plane, so every cotangent shares
+    # the plane's channel count — the chained accumulator relies on it.
+    assert all(g.shape[-1] == gs[0].shape[-1] for g in gs), (
+        "pool_multi cotangents must share the storage plane's channel count"
+    )
     shape = template.shape[:-1] + (gs[0].shape[-1],)
     acc = None
     for g, (starts, wy, wx) in zip(gs, specs):

@@ -27,5 +27,5 @@ try:
     # CPU caching is off by default (only the per-process in-memory cache);
     # these two knobs extend the persistent cache to the CPU backend.
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except (OSError, AttributeError):  # read-only FS / older jax
+except (OSError, AttributeError, ValueError):  # read-only FS / older jax / unknown value
     pass

@@ -99,3 +99,36 @@ def test_batched_equals_per_image_with_real_offsets():
     g = jax.grad(loss)(p)
     assert float(jnp.abs(g["conv_offset"]["kernel"]).sum()) > 0
     assert float(jnp.abs(g["kernel"]).sum()) > 0
+
+
+def test_bf16_drift_vs_f32_is_bounded():
+    """Production runs dtype=bf16, where the 4 corner taps and modulation
+    multiply-accumulate in bf16 before the f32 matmul. Bound that drift
+    against the f32 path at a realistic activation scale: bf16 carries
+    ~3 decimal digits, so with unit-scale inputs the sampled taps (and
+    hence the output, whose matmul accumulates in f32) should agree with
+    f32 to ~1e-1 absolute worst-case and far tighter in the mean."""
+    rng = np.random.default_rng(3)
+    x32 = jnp.asarray(rng.standard_normal((2, 12, 14, 8)).astype(np.float32))
+    m32 = DeformConv2D(features=8, kernel_size=3, modulated=True)
+    m16 = DeformConv2D(
+        features=8, kernel_size=3, modulated=True, dtype=jnp.bfloat16
+    )
+    variables = m32.init(jax.random.PRNGKey(0), x32)
+    p = variables["params"]
+    ok = p["conv_offset"]["kernel"]
+    p["conv_offset"]["kernel"] = jnp.asarray(
+        rng.standard_normal(ok.shape).astype(np.float32) * 0.3
+    )
+    p["conv_offset"]["bias"] = jnp.asarray(
+        rng.uniform(-2, 2, p["conv_offset"]["bias"].shape).astype(np.float32)
+    )
+    variables = {"params": p}
+    out32 = np.asarray(m32.apply(variables, x32), dtype=np.float32)
+    out16 = np.asarray(
+        m16.apply(variables, x32.astype(jnp.bfloat16)), dtype=np.float32
+    )
+    err = np.abs(out16 - out32)
+    scale = np.abs(out32).mean() + 1e-6
+    assert err.max() / scale < 0.35, (err.max(), scale)
+    assert err.mean() / scale < 0.02, (err.mean(), scale)

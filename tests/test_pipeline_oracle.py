@@ -776,3 +776,367 @@ def test_solov2_inference_matches_numpy_oracle():
             np.asarray(got.boxes[0])[i], np.asarray(want, np.float32) * 4.0,
             atol=1e-4,
         )
+
+
+def test_yolov4_inference_matches_numpy_oracle():
+    """YOLOv4: grid decode (center = (cell_index + scale*sigmoid - 0.5*(s-1))
+    * stride, size = exp(twh) * cell-anchor wh), score = sigmoid(conf) *
+    sigmoid(cls), score-max filter, CLASS-AGNOSTIC greedy NMS — reference
+    yolov4_outputs.py:208-264 (_get_predictions) and :331-390 (inference).
+    Documented deviation: this build clips boxes to the image before NMS
+    (D2 convention); the reference leaves them unclipped."""
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.models.meta_arch.common import (
+        preprocess_images,
+    )
+    from detectron2_tensorflow_tpu.models.meta_arch.single_stage import (
+        _build_backbone_neck,
+    )
+    from detectron2_tensorflow_tpu.models.single_stage.yolov4 import YOLOv4
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/reference/configs/COCO-Detection/yolov4_D_53_PAN_1x.yaml"
+    )
+    cfg.MODEL.SINGLE_STAGE_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.NECK.OUT_CHANNELS = 32
+    cfg.MODEL.YOLOV4.CONV_DIMS = 32
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    # Random-init probs sit near sigmoid(0)^2 = 0.25; keep candidates.
+    cfg.MODEL.YOLOV4.SCORE_THRESH_TEST = 0.2
+
+    model = build_model(cfg)
+    rng = np.random.default_rng(23)
+    hw = (64, 96)
+    batch = {
+        "image": jnp.asarray(
+            rng.uniform(0, 255, (1,) + hw + (3,)).astype(np.float32)
+        ),
+        "image_size": jnp.asarray([list(hw)], jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(7), batch)
+    got = jax.device_get(jax.jit(model.predict)(variables, batch))
+
+    images = preprocess_images(
+        batch["image"], cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
+        cfg.MODEL.INPUT_FORMAT, jnp.float32,
+    )
+    preds = jax.device_get(
+        jax.jit(lambda v, im: model.module.apply(v, im, train=False))(
+            variables, images
+        )
+    )
+    _, _, neck_shapes, _ = _build_backbone_neck(cfg)
+    drv = YOLOv4(cfg, neck_shapes)
+
+    all_boxes, all_scores, all_cls = [], [], []
+    for level, p in enumerate(preds):
+        p = np.asarray(p[0], np.float32)
+        hh, ww = p.shape[:2]
+        a = drv.num_anchors
+        k_cls = drv.num_classes
+        p = p.reshape(hh, ww, a, 5 + k_cls)
+        stride = drv.strides[level]
+        s = drv.scale_yx[level]
+        cell = np.asarray(drv.anchor_generator.cell_anchors[level])
+        wh_anchor = cell[:, 2:] - cell[:, :2]  # [A, 2] (w, h)
+        sig = lambda t: 1.0 / (1.0 + np.exp(-t))
+        gx = np.arange(ww, dtype=np.float32)[None, :, None]
+        gy = np.arange(hh, dtype=np.float32)[:, None, None]
+        cx = (gx + s * sig(p[..., 0]) - 0.5 * (s - 1)) * stride
+        cy = (gy + s * sig(p[..., 1]) - 0.5 * (s - 1)) * stride
+        pw = np.exp(p[..., 2]) * wh_anchor[None, None, :, 0]
+        ph = np.exp(p[..., 3]) * wh_anchor[None, None, :, 1]
+        boxes = np.stack(
+            [cx - pw / 2, cy - ph / 2, cx + pw / 2, cy + ph / 2], axis=-1
+        ).reshape(-1, 4)
+        prob = sig(p[..., 4:5]) * sig(p[..., 5:])  # [h, w, a, K]
+        all_boxes.append(boxes)
+        all_scores.append(prob.reshape(-1, k_cls))
+    boxes = np.concatenate(all_boxes, 0)
+    probs = np.concatenate(all_scores, 0)
+    score = probs.max(axis=-1)
+    cls = probs.argmax(axis=-1)
+    k = min(drv.topk_pre_nms, score.shape[0])
+    top = np.argsort(-score, kind="stable")[:k]
+    tb = np_clip(boxes[top], hw)
+    ts = score[top]
+    tc = cls[top]
+    sel = ts > drv.score_thresh
+    keep = np_greedy_nms(
+        tb[sel], ts[sel], drv.nms_thresh, drv.detections_per_image
+    )
+
+    valid = np.asarray(got.is_valid[0])
+    assert valid.any(), "vacuous: no valid YOLOv4 detections"
+    assert valid.sum() == len(keep), (valid.sum(), len(keep))
+    np.testing.assert_allclose(
+        np.asarray(got.scores[0])[valid], ts[sel][keep], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.pred_classes[0])[valid], tc[sel][keep]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.boxes[0])[valid], tb[sel][keep], rtol=1e-3, atol=0.05
+    )
+
+
+def np_paste_masks(masks, boxes, image_size, threshold=0.5):
+    """Numpy transcription of structures/masks.paste_masks_in_image
+    (separable hat-weight bilinear, half-pixel centers, zero padding)."""
+    h, w = image_size
+    out = []
+    for mask, box in zip(masks, boxes):
+        mh, mw = mask.shape
+        x0, y0, x1, y1 = box
+
+        def wmat(size, lo, hi, m):
+            pix = np.arange(size, dtype=np.float64) + 0.5
+            coord = (pix - lo) / max(hi - lo, 1e-4) * m - 0.5
+            cells = np.arange(m, dtype=np.float64)
+            return np.maximum(0.0, 1.0 - np.abs(coord[:, None] - cells[None, :]))
+
+        wy = wmat(h, y0, y1, mh)
+        wx = wmat(w, x0, x1, mw)
+        out.append(wy @ mask.astype(np.float64) @ wx.T > threshold)
+    return np.stack(out)
+
+
+def test_panoptic_fusion_matches_numpy_oracle():
+    """PanopticFPN fusion: sorted-instance overlay (intersect/mask_area <
+    overlap_threshold acceptance, first-come pixel ownership) then
+    stuff-area fill for labels 1..K-1 — reference panoptic_fpn.py:160-296.
+    Tie conventions pinned here: segment ids increment only on ACCEPTED
+    segments (the reference increments always — an id-labeling choice that
+    PQ ignores), stuff fills at area >= limit (upstream D2's rule; the TF
+    reference uses strict >), score gate is >= (measure-zero on floats).
+    Includes a stuff class with area EXACTLY == the limit to pin >=."""
+    from detectron2_tensorflow_tpu.models.sem_seg import (
+        combine_semantic_and_instance_outputs,
+    )
+    from detectron2_tensorflow_tpu.structures import Instances
+
+    rng = np.random.default_rng(31)
+    h, w = 64, 80
+    d = 6
+    num_stuff = 5
+    # Overlapping boxes with a score ladder; two invalid slots; solid-ish
+    # mask probabilities so pasted masks have real area and real overlaps.
+    boxes = np.stack([
+        [8, 8, 40, 40], [10, 10, 42, 44], [30, 20, 70, 60],
+        [5, 35, 35, 62], [50, 5, 78, 30], [0, 0, 12, 12],
+    ]).astype(np.float32)
+    scores = np.asarray([0.9, 0.8, 0.85, 0.55, 0.45, 0.7], np.float32)
+    classes = np.asarray([2, 1, 0, 3, 2, 1], np.int32)
+    is_valid = np.asarray([1, 1, 1, 1, 1, 0], bool)
+    masks = rng.uniform(0.4, 1.0, (d, 14, 14)).astype(np.float32)
+    masks[1, :3] = 0.0  # carve structure so overlap fractions vary
+    masks[3, :, :4] = 0.0
+
+    # Sem-seg map from coarse blocks (label 3 reassigned below so its FREE
+    # area lands exactly on the stuff_area_limit, pinning the >= rule).
+    sem = rng.integers(0, num_stuff, (8, 10)).astype(np.int32)
+    sem = np.kron(sem, np.ones((8, 8), np.int32))
+    sem[sem == 3] = 4
+    sem[:, :2] = 0
+    conf_thresh = 0.5
+
+    # ---- sequential numpy oracle: instance overlay first ----------------
+    pasted = np_paste_masks(masks, boxes, (h, w))
+    order_scores = np.where(is_valid, scores, -1.0)
+    order = np.argsort(-order_scores, kind="stable")
+    pixel = np.zeros((h, w), np.int32)
+    next_id = 1
+    cap = d + num_stuff + 1
+    cat = np.full(cap, -1, np.int32)
+    thing = np.zeros(cap, bool)
+    segsc = np.zeros(cap, np.float32)
+    segval = np.zeros(cap, bool)
+    for det_i in order:
+        mask = pasted[det_i]
+        sc = order_scores[det_i]
+        area = mask.sum()
+        free = mask & (pixel == 0)
+        ok = (
+            sc >= conf_thresh and area > 0
+            and free.sum() / max(area, 1) > 1 - 0.5
+        )
+        if ok:
+            pixel[free] = next_id
+            cat[next_id] = classes[det_i]
+            thing[next_id] = True
+            segsc[next_id] = sc
+            segval[next_id] = True
+            next_id += 1
+
+    # Give label 3 a free-pixel count of EXACTLY stuff_area_limit: take
+    # unoccupied thing-label (0) pixels — they are skipped by the fusion.
+    stuff_area_limit = 150
+    free0 = np.nonzero((sem.reshape(-1) == 0) & (pixel.reshape(-1) == 0))[0]
+    assert len(free0) >= stuff_area_limit
+    flat = sem.reshape(-1)
+    flat[free0[:stuff_area_limit]] = 3
+    # And cap label 2's FREE area strictly below the limit (reassign its
+    # excess free pixels to label 4) so one stuff class is area-rejected.
+    free2 = np.nonzero((flat == 2) & (pixel.reshape(-1) == 0))[0]
+    flat[free2[stuff_area_limit - 1 :]] = 4
+    sem = flat.reshape(h, w)
+    assert ((sem == 3) & (pixel == 0)).sum() == stuff_area_limit
+    n_free2 = ((sem == 2) & (pixel == 0)).sum()
+    assert 0 < n_free2 < stuff_area_limit, n_free2
+
+    for c in range(1, num_stuff):
+        region = (sem == c) & (pixel == 0)
+        if region.sum() >= stuff_area_limit:
+            pixel[region] = next_id
+            cat[next_id] = c
+            thing[next_id] = False
+            segval[next_id] = True
+            next_id += 1
+
+    det = Instances(
+        boxes=jnp.asarray(boxes)[None],
+        scores=jnp.asarray(scores)[None],
+        pred_classes=jnp.asarray(classes)[None],
+        is_valid=jnp.asarray(is_valid)[None],
+        pred_masks=jnp.asarray(masks)[None],
+    )
+
+    got_map, got_info = jax.jit(
+        lambda dd, ss: jax.vmap(
+            lambda one_d, one_s: combine_semantic_and_instance_outputs(
+                one_d, one_s, overlap_threshold=0.5,
+                stuff_area_limit=stuff_area_limit,
+                instances_confidence_threshold=conf_thresh,
+                num_stuff_classes=num_stuff,
+            )
+        )(dd, ss)
+    )(det, jnp.asarray(sem)[None])
+    got_map = np.asarray(got_map[0])
+    got_info = {k: np.asarray(v[0]) for k, v in got_info.items()}
+
+    # The ==limit class must be ACCEPTED (>= convention, upstream D2 rule).
+    assert segval[cat == 3].any(), "label-3 (area == limit) not accepted"
+
+    # Non-vacuity: at least 2 thing segments accepted, at least 1 rejected
+    # by the overlap rule or validity, and at least 1 stuff segment each
+    # accepted and (area-capped) rejected.
+    n_things = (segval & thing).sum()
+    n_stuff = (segval & ~thing).sum()
+    assert n_things >= 2, n_things
+    assert n_things < is_valid.sum(), "no instance was rejected"
+    assert n_stuff >= 1, n_stuff
+    assert n_stuff < num_stuff - 1, "no stuff class was area-rejected"
+
+    np.testing.assert_array_equal(got_map, pixel)
+    np.testing.assert_array_equal(got_info["category_id"][:cap], cat)
+    np.testing.assert_array_equal(got_info["is_thing"][:cap], thing)
+    np.testing.assert_array_equal(got_info["valid"][:cap], segval)
+    np.testing.assert_allclose(got_info["score"][:cap], segsc, rtol=1e-5)
+
+
+def test_relation_duplicate_removal_matches_numpy_oracle():
+    """Relation Networks learned NMS (the reference defines the config keys
+    at defaults.py:441-452 and the modules in relation_module.py but never
+    wires removal; this build does — STATUS.md §2.4). System-level contract
+    pinned here: candidate construction (per-proposal argmax class, decoded
+    best-class box, score-desc top-k of 4x detections), appearance gather by
+    candidate index, final score = cls_score * sigmoid(keep logit) gated by
+    score_thresh, plain top-k — NO greedy suppression. The relation/rank
+    embedding math itself is pinned by tests/test_relation_paper.py."""
+    cfg = tiny_rcnn_cfg()
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.ROI_HEADS.NAME = "RelationROIHeads"
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_ON = True
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.NUM_GROUPS = 4
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.NMS_NUM_GROUP = 4
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.KEY_DIM = 16
+    cfg.MODEL.ROI_BOX_RELATION_HEAD.RANK_EMBEDDING_DIM = 32
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 128
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    # Random-init softmax scores hover near 1/(K+1); keep candidates.
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+
+    model, variables, got, module, feats, proposals, hw = _rcnn_oracle_common(
+        cfg, seed=37
+    )
+
+    max_img = max(cfg.TRANSFORM.RESIZE.MAX_SIZE_TRAIN,
+                  cfg.TRANSFORM.RESIZE.MAX_SIZE_TEST)
+    pool = make_oracle_pool(
+        [feats[n][0] for n in ["p2", "p3", "p4", "p5"]], [4, 8, 16, 32],
+        max_img,
+    )
+    res = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
+    pooled = pool(proposals, res)
+    n = len(proposals)
+
+    # Box head + predictor via module.apply (RelationBoxHead consumes the
+    # proposal geometry; its attention math is unit-pinned elsewhere).
+    scores_l, ds_l, app = jax.device_get(
+        jax.jit(
+            lambda v, p, bx: module.apply(
+                v, p, stage=0, train=False, method="box",
+                boxes=bx[None], boxes_valid=jnp.ones((1, bx.shape[0]), bool),
+            )
+        )(variables, jnp.asarray(pooled), jnp.asarray(proposals))
+    )
+    probs_full = np.asarray(jax.nn.softmax(jnp.asarray(scores_l), -1))
+    kcls = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    probs = probs_full[:, :kcls]
+    decoded = np_clip(
+        np_decode(ds_l, proposals, cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS), hw
+    )  # [N, K, 4]
+
+    # Candidates: per proposal the argmax foreground class + its box; then
+    # score-desc top-k (k = min(P, 4 * detections_per_image)).
+    cls = probs.argmax(axis=-1)
+    best = probs[np.arange(n), cls]
+    cb_full = decoded[np.arange(n), cls]
+    k = min(4 * cfg.TEST.DETECTIONS_PER_IMAGE, n)
+    idx = np.argsort(-best, kind="stable")[:k]
+    cs = best[idx]
+    cc = cls[idx]
+    cb = cb_full[idx]
+    cv = cs > 0
+
+    # Keep logits from the dup-removal module fed with ORACLE candidates.
+    keep = np.asarray(
+        jax.jit(
+            lambda v, a, s, b, va: module.apply(
+                v, a, s, b, va, method="dup_removal"
+            )
+        )(
+            variables, jnp.asarray(app[idx])[None], jnp.asarray(cs)[None],
+            jnp.asarray(cb)[None], jnp.asarray(cv)[None],
+        )
+    )[0]
+    final = cs / (1.0 + np.exp(-keep))
+    final = np.where(cv & (cs > cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST), final, 0.0)
+    order = np.argsort(-final, kind="stable")[: cfg.TEST.DETECTIONS_PER_IMAGE]
+    want_scores = final[order]
+    want_valid = want_scores > 0
+
+    got_valid = np.asarray(got.is_valid[0])
+    assert want_valid.any(), "vacuous: no valid relation detections"
+    np.testing.assert_array_equal(got_valid, want_valid)
+    # Tolerance note: keep logits pass candidate boxes through
+    # sinusoid_embedding(100 * geometry), so the ~1e-5-px box drift between
+    # the real pooler and the numpy oracle pool amplifies ~100x into the
+    # attention bias; observed rel drift is ~3e-3. The embedding formulas
+    # themselves are pinned exactly in tests/test_relation_paper.py.
+    np.testing.assert_allclose(
+        np.asarray(got.scores[0])[got_valid], want_scores[want_valid],
+        rtol=1e-2, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.pred_classes[0])[got_valid], cc[order][want_valid]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.boxes[0])[got_valid], cb[order][want_valid],
+        rtol=1e-3, atol=0.05,
+    )
