@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import class_aware_nms
+from ...ops.topk import flat_top_k
 from ...structures import Instances, boxes as box_ops
 from ..box_regression import Box2BoxTransform
 from ..losses import smooth_l1_loss, softmax_cross_entropy
@@ -105,7 +106,7 @@ def fast_rcnn_inference(
             valid[:, None], scores, 0.0
         ).reshape(-1)  # [P*K]
         k = min(pre_nms_topk, flat_scores.shape[0])
-        top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+        top_scores, top_idx = flat_top_k(flat_scores, k)
         cls = top_idx % num_classes
         box_idx = top_idx // num_classes
         cand_boxes = decoded.reshape(-1, 4)[top_idx]

@@ -10,9 +10,61 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..layers import Conv2D, ConvTranspose2D, get_norm
+
+
+class _FlattenDense(nn.Module):
+    """Dense over a flattened [N, S, S, C] input WITHOUT the flatten copy.
+
+    ``x.reshape(N, -1) @ kernel`` materializes a sublane-retiling copy of
+    the whole pooled tensor (S=7 pads to 8 in TPU (8,128) tiles; 802 MB and
+    0.085 ms/img at the serving shape — round-4 roofline audit). This
+    module contracts (h, w, c) directly with dot_general so XLA can feed
+    the tiled tensor straight to the MXU. The kernel parameter keeps the
+    canonical flattened ``[S*S*C, features]`` checkpoint shape (converters
+    and D2 weight layouts untouched); its reshape to [S, S, C, features]
+    is row-major, so the math is bit-identical to flatten-then-matmul.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        if x.ndim == 2:  # already flat (e.g. relation box head re-entry)
+            in_dim, view = x.shape[1], None
+        else:
+            in_dim, view = int(np_prod(x.shape[1:])), x.shape[1:]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (in_dim, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if view is None:
+            y = x @ kernel
+        else:
+            y = jax.lax.dot_general(
+                x,
+                kernel.reshape(view + (self.features,)),
+                dimension_numbers=(((1, 2, 3), (0, 1, 2)), ((), ())),
+            )
+        return y + bias.astype(self.dtype)
+
+
+def np_prod(xs):
+    out = 1
+    for v in xs:
+        out *= int(v)
+    return out
 
 
 class FastRCNNConvFCHead(nn.Module):
@@ -32,15 +84,19 @@ class FastRCNNConvFCHead(nn.Module):
                 self.conv_dim, 3, norm=self.norm, activation="relu",
                 dtype=self.dtype, name=f"conv{i + 1}",
             )(x, train=train)
-        x = x.reshape(x.shape[0], -1)
         for i in range(self.num_fc):
-            x = nn.Dense(
-                self.fc_dim, dtype=self.dtype,
-                kernel_init=nn.initializers.variance_scaling(
-                    1.0, "fan_in", "uniform"
-                ),
-                name=f"fc{i + 1}",
-            )(x)
+            if x.ndim == 4:
+                x = _FlattenDense(
+                    self.fc_dim, dtype=self.dtype, name=f"fc{i + 1}"
+                )(x)
+            else:
+                x = nn.Dense(
+                    self.fc_dim, dtype=self.dtype,
+                    kernel_init=nn.initializers.variance_scaling(
+                        1.0, "fan_in", "uniform"
+                    ),
+                    name=f"fc{i + 1}",
+                )(x)
             x = nn.relu(x)
         return x
 

@@ -159,8 +159,15 @@ class RPN:
             keys, gt["gt_boxes"], gt["gt_valid"], gt_is_crowd, image_sizes
         )
 
-        sel_logits = jnp.take_along_axis(flat_logits, idx, axis=1)
-        sel_deltas = jnp.take_along_axis(flat_deltas, idx[..., None], axis=1)
+        # Gather FIRST, cast the [B, S]-sized slices after — the head's
+        # full maps stay in their native (bf16) dtype so no f32 copies of
+        # whole feature-map-sized tensors are ever materialized.
+        sel_logits = jnp.take_along_axis(flat_logits, idx, axis=1).astype(
+            jnp.float32
+        )
+        sel_deltas = jnp.take_along_axis(
+            flat_deltas, idx[..., None], axis=1
+        ).astype(jnp.float32)
         sel_anchors = jnp.take(anchors, idx, axis=0)  # [B, S, 4]
 
         objectness = sigmoid_cross_entropy(
@@ -202,9 +209,17 @@ class RPN:
                 per_level_logits, per_level_deltas, level_anchors
             ):
                 k = min(pre_k, logit.size)
+                # top-k in the head's native dtype (bf16 upcast is monotone,
+                # so the selection is identical to f32); cast only the
+                # gathered k rows. Gathering 4-channel rows from the
+                # [H*W*A, 4] view avoids reshaping the full map: XLA folds
+                # the reshape into the gather when no cast sits in between.
                 top_scores, top_idx = spatial_top_k(logit, k)
+                top_scores = top_scores.astype(jnp.float32)
                 sel_anchors = jnp.take(anchors, top_idx, axis=0)
-                sel_deltas = jnp.take(delta.reshape(-1, 4), top_idx, axis=0)
+                sel_deltas = jnp.take(
+                    delta.reshape(-1, 4), top_idx, axis=0
+                ).astype(jnp.float32)
                 boxes = self.box2box.apply_deltas(sel_deltas, sel_anchors)
                 boxes = box_ops.clip(boxes, image_size)
                 valid = box_ops.nonempty(boxes, float(self.min_size))

@@ -26,6 +26,35 @@ import jax
 import jax.numpy as jnp
 
 
+def flat_top_k(scores: jnp.ndarray, k: int, window: int = 8):
+    """Exact top-k over a flat [N] vector via windowed preselect.
+
+    Same exactness argument as the 2x2 spatial preselect above, with 1-D
+    windows of ``window`` elements: if s ranks in the global top-k, its
+    window's max is >= s; if that window is not among the top-k windows by
+    max, then k other windows each contain an element > s — contradiction.
+
+    Replaces one O(N) sort with a cheap windowed max-reduce plus two sorts
+    over N/window and k*window elements. At the Fast R-CNN serving shape
+    (N = 80000 proposal x class scores, k = 2000) the XLA full sort costs
+    0.086 ms/img (sort.14 in the round-4 roofline audit); the windowed form
+    sorts 10000 + 16000 instead. Falls back to ``lax.top_k`` when the
+    preselect cannot hold k windows. Tie order may differ from a flat
+    ``lax.top_k`` (same latitude as tf.nn.top_k).
+    """
+    n = scores.shape[0]
+    k = min(k, n)
+    nw = n // window
+    if nw < k or n % window:
+        return jax.lax.top_k(scores, k)
+    mat = scores.reshape(nw, window)
+    wmax = jnp.max(mat, axis=1)
+    _, widx = jax.lax.top_k(wmax, k)
+    cand = jnp.take(mat, widx, axis=0)  # [k, window] contiguous row gather
+    vals, ci = jax.lax.top_k(cand.reshape(-1), k)
+    return vals, jnp.take(widx, ci // window) * window + ci % window
+
+
 def spatial_top_k(scores: jnp.ndarray, k: int):
     """Exact top-k over a [H, W, A] score map (row-major (y, x, a) layout).
 

@@ -41,6 +41,14 @@ HEADS = {
     "semantic": ("configs/COCO-SemanticSegmentation/semantic_R_50_FPN_1x.yaml",
                  (800, 1344), 8),
     "rpn": ("configs/COCO-Detection/rpn_R_50_FPN_1x.yaml", (800, 1344), 8),
+    # VERDICT r3 #6: the remaining MODEL_ZOO placeholder rows (D2 V100
+    # anchors: faster_rcnn R50-FPN 26.3 img/s, cascade_mask_rcnn 19.2).
+    "faster": ("configs/COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
+               (800, 1344), 8),
+    "cascade": ("configs/Misc/cascade_mask_rcnn_R_50_FPN_1x.yaml",
+                (800, 1344), 8),
+    "relation": ("configs/Misc/relation_rcnn_R_50_FPN_1x.yaml",
+                 (800, 1344), 8),
 }
 
 

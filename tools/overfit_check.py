@@ -57,7 +57,11 @@ def get_cfg_for(arch: str):
         # NMS-free duplicate-removal head (reference relation_network.py +
         # relation_module.py; DUPLICATE_REMOVAL_ON is this repo's wiring of
         # the reference's orphan DUPLICATE_REMOVAL_* keys).
-        cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_ON = True
+        # --no-dup ablates the learned removal (plain NMS) to separate
+        # relation-box-head learning from duplicate-removal learning.
+        cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_ON = (
+            "--no-dup" not in sys.argv
+        )
     elif arch == "semantic":
         cfg.merge_from_file(
             "configs/COCO-SemanticSegmentation/semantic_R_50_FPN_1x.yaml"
