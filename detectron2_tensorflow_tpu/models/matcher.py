@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -74,3 +75,90 @@ class Matcher:
             labels = jnp.where(pred_is_low_quality, jnp.int8(1), labels)
 
         return matched_idx, labels
+
+    def label_from_quality(self, quality: jnp.ndarray) -> jnp.ndarray:
+        """Threshold-band labels for per-prediction best quality [A]."""
+        labels = jnp.full(quality.shape, self.labels[0], jnp.int8)
+        for lbl, lo, hi in zip(
+            self.labels, self.thresholds[:-1], self.thresholds[1:]
+        ):
+            in_range = (quality >= lo) & (quality < hi)
+            labels = jnp.where(in_range, jnp.int8(lbl), labels)
+        return labels
+
+    def match_chunked(
+        self,
+        gt_boxes: jnp.ndarray,  # [G, 4]
+        gt_valid: jnp.ndarray,  # [G] bool (non-crowd valid rows)
+        anchors: jnp.ndarray,  # [A, 4]
+        quality_fn,  # (gt_boxes [G,4], anchors [C,4]) -> [G, C]
+        chunk: int = 32768,
+        extra_fn=None,  # optional (gt_boxes, anchors[C,4]) -> [C] emit
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Same semantics as ``__call__`` without materializing [G, A].
+
+        MEASURED DEAD END on TPU v5e at RPN train shapes — kept (with its
+        bit-equality test) as the written-down experiment. The dense
+        [B, G, A] f32 quality tensor is ~4.4 GB at batch 16 and looked like
+        pure HBM waste in the round-4 roofline audit, but its producing and
+        consuming fusions already run at ~0.85 of the HBM roofline, and
+        both chunked re-derivations lost end-to-end: the lax.scan form
+        serializes chunks behind carry dependencies (51.2 vs 52.5 img/s),
+        and the unrolled-slices form blew up XLA compile time (>20 min vs
+        ~2). The VPU recompute (2x IoU over 270k anchors x G) is simply
+        slower than streaming the matrix at roofline on this part.
+
+        Semantics: computes quality per ``chunk`` of anchors in two passes
+        (pass 1: per-anchor max/argmax + per-GT running max; pass 2: the
+        low-quality tie test, which needs the finished per-GT best), so
+        only [A]-sized outputs ever hit HBM. Bit-identical to the dense
+        path: axis-0 argmax is unaffected by chunking over anchors, and
+        max/ties use the same comparisons. ``extra_fn`` folds another
+        per-anchor reduction over the same sweep (e.g. the RPN crowd-IoA
+        test). Returns (matched_idx, labels, extra).
+        """
+        a = anchors.shape[0]
+        g = gt_boxes.shape[0]
+        # Static (unrolled) slices, NOT lax.scan: a scan serializes the
+        # chunks behind carry dependencies and its per-iteration plumbing
+        # measured slower end-to-end than the dense path (51.2 vs 52.5
+        # img/s); unrolled slices let XLA fuse each slice's IoU +
+        # reductions with no materialized [G, A] and schedule them freely.
+        slices = [
+            anchors[s:s + chunk] for s in range(0, a, chunk)
+        ]
+        neg_inf = jnp.asarray(-1e10, jnp.float32)
+
+        def masked_q(a_chunk):
+            q = quality_fn(gt_boxes, a_chunk)
+            return jnp.where(gt_valid[:, None], q, neg_inf)
+
+        mv, mi, extra, gt_best = [], [], [], []
+        for a_chunk in slices:
+            masked = masked_q(a_chunk)
+            mv.append(jnp.max(masked, axis=0))
+            mi.append(jnp.argmax(masked, axis=0).astype(jnp.int32))
+            gt_best.append(jnp.max(masked, axis=1))
+            if extra_fn is not None:
+                extra.append(extra_fn(gt_boxes, a_chunk))
+        matched_vals = jnp.concatenate(mv)
+        matched_idx = jnp.concatenate(mi)
+        extra_out = jnp.concatenate(extra) if extra_fn is not None else None
+
+        quality = jnp.where(matched_vals > neg_inf / 2, matched_vals, 0.0)
+        labels = self.label_from_quality(quality)
+
+        if self.allow_low_quality_matches:
+            best_per_gt = jnp.max(jnp.stack(gt_best), axis=0)
+            thresh = best_per_gt[:, None]
+            lowq = []
+            for a_chunk in slices:
+                masked = masked_q(a_chunk)
+                is_best = (
+                    (masked >= thresh) & gt_valid[:, None] & (thresh > 0)
+                )
+                lowq.append(jnp.any(is_best, axis=0))
+            labels = jnp.where(
+                jnp.concatenate(lowq), jnp.int8(1), labels
+            )
+        return matched_idx, labels, extra_out

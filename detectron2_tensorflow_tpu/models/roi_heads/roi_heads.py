@@ -297,7 +297,12 @@ class StandardROIHeads:
             sel = jnp.take_along_axis(
                 logits, cls[:, :, None, None, None], axis=-1
             )[..., 0]
-        ce = sigmoid_cross_entropy(sel, targets)
+        # Gather in the head's native dtype, THEN cast: the transpose of
+        # this cast+gather is a scatter of the per-ROI grads into a zeros
+        # tensor of the full [B, M, out, out, K] logits — in bf16 instead
+        # of f32 it moves half the bytes, and scattering casts equals
+        # casting the scatter (placement only).
+        ce = sigmoid_cross_entropy(sel.astype(jnp.float32), targets)
         num = jnp.sum(ce * fg[:, :, None, None])
         den = jnp.maximum(jnp.sum(fg) * out_size * out_size, 1.0)
         return num / den

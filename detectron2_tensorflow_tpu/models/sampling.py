@@ -15,6 +15,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.topk import flat_top_k
+
 
 def _sample_topk(key, eligible: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pick up to k of the eligible items uniformly. Returns (indices [k],
@@ -23,7 +25,12 @@ def _sample_topk(key, eligible: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.n
     noise = jax.random.uniform(key, eligible.shape)
     score = jnp.where(eligible, noise, -1.0)
     kk = min(k, eligible.shape[0])
-    vals, idx = jax.lax.top_k(score, kk)
+    # Windowed preselect: a full top-k over all ~270k anchors costs
+    # 0.34 ms/img in the train step (round-4 roofline audit); the
+    # windowed form is exact for distinct scores, and these are
+    # continuous-uniform draws (ties are measure-zero and would only
+    # permute an already-random choice).
+    vals, idx = flat_top_k(score, kk)
     if kk < k:
         idx = jnp.pad(idx, (0, k - kk))
         vals = jnp.pad(vals, (0, k - kk), constant_values=-1.0)

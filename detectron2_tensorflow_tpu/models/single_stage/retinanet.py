@@ -157,6 +157,8 @@ class RetinaNet:
         pred_logits, pred_deltas = self._flatten_outputs(logits, deltas)
 
         def assign_one(gt_boxes, gt_classes, gt_valid):
+            # Dense assignment — see the measured-dead-end note on the
+            # chunked alternative in models/rpn.py losses.
             quality = box_ops.pairwise_iou(gt_boxes, anchors)  # [G, R]
             matched_idx, labels = self.matcher(quality, gt_valid)
             matched_boxes = jnp.take(gt_boxes, matched_idx, axis=0)

@@ -44,15 +44,22 @@ def flat_top_k(scores: jnp.ndarray, k: int, window: int = 8):
     """
     n = scores.shape[0]
     k = min(k, n)
-    nw = n // window
-    if nw < k or n % window:
+    if (n + window - 1) // window < k:
         return jax.lax.top_k(scores, k)
+    if n % window:
+        pad = window - n % window
+        scores = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
+    nw = scores.shape[0] // window
     mat = scores.reshape(nw, window)
     wmax = jnp.max(mat, axis=1)
     _, widx = jax.lax.top_k(wmax, k)
     cand = jnp.take(mat, widx, axis=0)  # [k, window] contiguous row gather
     vals, ci = jax.lax.top_k(cand.reshape(-1), k)
-    return vals, jnp.take(widx, ci // window) * window + ci % window
+    idx = jnp.take(widx, ci // window) * window + ci % window
+    # -inf tail pads can only be selected when the k-th value is itself
+    # -inf; clamp so returned indices are always in range (callers treat
+    # -inf slots as invalid).
+    return vals, jnp.minimum(idx, n - 1)
 
 
 def spatial_top_k(scores: jnp.ndarray, k: int):

@@ -81,6 +81,40 @@ def test_matcher_invalid_gt_is_background():
     np.testing.assert_array_equal(labels, [0, 0])
 
 
+def test_matcher_chunked_matches_dense():
+    """match_chunked must be bit-identical to the dense matcher, including
+    low-quality tie recovery, invalid GT rows, and the folded extra_fn."""
+    from detectron2_tensorflow_tpu.structures import boxes as box_ops
+
+    rng = np.random.default_rng(5)
+    g, a = 12, 1000
+    gt = np.sort(rng.uniform(0, 200, (g, 2, 2)), axis=1).reshape(g, 4)
+    gt = gt[:, [0, 2, 1, 3]].astype(np.float32)
+    anchors = np.sort(rng.uniform(0, 200, (a, 2, 2)), axis=1).reshape(a, 4)
+    anchors = anchors[:, [0, 2, 1, 3]].astype(np.float32)
+    gt_valid = np.array([True] * 9 + [False] * 3)
+    crowd = jnp.asarray(np.array([False] * 8 + [True] + [False] * 3))
+
+    def extra(gtb, ac):
+        ioa = box_ops.pairwise_ioa(gtb, ac)
+        return jnp.any(ioa * crowd[:, None].astype(ioa.dtype) > 0.5, axis=0)
+
+    for low in (False, True):
+        m = Matcher([0.3, 0.7], [0, -1, 1], allow_low_quality_matches=low)
+        q = box_ops.pairwise_iou(jnp.asarray(gt), jnp.asarray(anchors))
+        want_idx, want_lbl = m(q, jnp.asarray(gt_valid))
+        got_idx, got_lbl, got_extra = m.match_chunked(
+            jnp.asarray(gt), jnp.asarray(gt_valid), jnp.asarray(anchors),
+            box_ops.pairwise_iou, chunk=96, extra_fn=extra,
+        )
+        np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+        np.testing.assert_array_equal(np.asarray(got_lbl), np.asarray(want_lbl))
+        np.testing.assert_array_equal(
+            np.asarray(got_extra), np.asarray(extra(jnp.asarray(gt),
+                                                   jnp.asarray(anchors)))
+        )
+
+
 def test_subsample_labels_counts():
     key = jax.random.PRNGKey(0)
     labels = jnp.array([1] * 10 + [0] * 100 + [-1] * 20)

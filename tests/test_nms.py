@@ -130,6 +130,25 @@ def test_spatial_top_k_matches_flat_top_k():
         )
 
 
+def test_flat_top_k_matches_lax_top_k():
+    """1-D windowed preselect must be EXACT vs lax.top_k (distinct scores),
+    including the fallback shapes (k > n//window, n not a window multiple)."""
+    import jax
+
+    from detectron2_tensorflow_tpu.ops.topk import flat_top_k
+
+    rng = np.random.default_rng(3)
+    for n, k in [(80000, 2000), (80000, 100), (4096, 512), (1000, 900),
+                 (1001, 100), (64, 64), (16, 5)]:
+        scores = jnp.asarray(rng.permutation(n).astype(np.float32))
+        want_v, want_i = jax.lax.top_k(scores, min(k, n))
+        got_v, got_i = flat_top_k(scores, k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(got_i)), np.sort(np.asarray(want_i))
+        )
+
+
 @pytest.mark.slow
 def test_nms_max_keep_early_exit_matches_full_sweep():
     """nms(max_keep=k) stops the block sweep at k survivors; its top-k

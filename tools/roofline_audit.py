@@ -176,8 +176,13 @@ class HloModule:
         entry_start = self.text.find("ENTRY ")
         entry_text = self.text[entry_start:]
         out = {}
+        # Shape may be a tuple "(bf16[...]{...}, ...)" whose layout suffixes
+        # contain parens (T(8,128)(2,1)S(1)) — match the OP as the first
+        # lowercase word directly followed by "(" (dtype tokens are never
+        # followed by an open paren; layout T()/S() markers are uppercase).
         for m in re.finditer(
-            r"^\s*(?:ROOT )?%([\w.\-]+) = (\S+) ([\w\-]+)\(([^\n]*)", entry_text, re.M
+            r"^\s*(?:ROOT )?%([\w.\-]+) = (.+?) ([a-z][\w\-]*)\(([^\n]*)",
+            entry_text, re.M,
         ):
             name, shape, op, rest = m.groups()
             if op in ("parameter", "constant", "get-tuple-element", "tuple",
