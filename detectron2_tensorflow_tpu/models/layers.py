@@ -194,7 +194,16 @@ class Conv2D(nn.Module):
                 fused_epilogue_supported,
             )
 
-            if fused_epilogue_supported(
+            import os as _os
+
+            _dot_tail = _os.environ.get("D2TPU_DOT_TAIL", "0") == "1"
+            _tail_ok = (
+                self.kernel_size == 1 and self.strides == 1
+                and self.groups == 1 and self.dilation == 1
+                and self.norm == "FrozenBN" and not bias
+                and self.padding in ("SAME", "VALID")
+            )
+            if (_dot_tail and _tail_ok) or fused_epilogue_supported(
                 self.kernel_size, self.strides, self.groups,
                 self.dilation, self.norm, bias, self.padding,
             ):
@@ -208,6 +217,21 @@ class Conv2D(nn.Module):
                     # get_norm's flax auto-name for the unfused path.
                     name=f"{FrozenBatchNorm.__name__}_0",
                 )()
+                if _dot_tail and _tail_ok:
+                    # Same epilogue expressed as a plain-XLA dot: a 1x1
+                    # stride-1 conv over NHWC IS x·W on the channel axis,
+                    # and dot_general (unlike convolution — see
+                    # ops/pallas/fused_residual.py) admits output fusion
+                    # of the affine+add+relu, so the conv result need not
+                    # round-trip HBM before the residual add. Param tree
+                    # identical to the other two paths by construction.
+                    w = kernel.reshape(x.shape[-1], self.features)
+                    y = jax.lax.dot_general(
+                        x, w.astype(self.dtype),
+                        (((3,), (0,)), ((), ())),
+                    )
+                    y = y * scale.astype(y.dtype) + shift.astype(y.dtype)
+                    return nn.relu(y + residual)
                 return fused_conv1x1_bn_add_relu(
                     x, kernel.astype(self.dtype), scale, shift, residual
                 )

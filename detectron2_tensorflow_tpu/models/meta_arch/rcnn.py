@@ -185,6 +185,10 @@ def _build_rcnn_parts(cfg, with_rpn=True, with_roi=True, with_sem_seg=False):
                     key_dim=rel.KEY_DIM,
                     geometry_dim=rel.GEOMETRY_EMBEDDING_DIM,
                     rank_dim=rel.RANK_EMBEDDING_DIM,
+                    num_thresholds=len(
+                        tuple(rel.DUPLICATE_REMOVAL_IOUS)
+                        or (rel.DUPLICATE_REMOVAL_IOU,)
+                    ),
                     dtype=dtype, name="duplicate_removal",
                 )
             box_predictors = (
@@ -314,7 +318,10 @@ class _RCNNDrivers:
         # Learned duplicate removal (relation networks): replaces NMS at
         # inference and adds a BCE loss in training.
         self.dup_on = module.duplicate_removal is not None
-        self.dup_iou = cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOU
+        _rel = cfg.MODEL.ROI_BOX_RELATION_HEAD
+        self.dup_ious = tuple(_rel.DUPLICATE_REMOVAL_IOUS) or (
+            _rel.DUPLICATE_REMOVAL_IOU,
+        )
         self.num_stages = roi_driver.num_stages if self.is_cascade else 1
         self.with_sem_seg = with_sem_seg
         self.sem_seg_ignore = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE
@@ -395,8 +402,8 @@ class _RCNNDrivers:
         app = self._gather_appearance(appearance, idx, b, p)
         keep = self.module.apply(
             variables, app, cs, cb, cv, method="dup_removal"
-        ).astype(jnp.float32)
-        final = cs * jax.nn.sigmoid(keep)
+        ).astype(jnp.float32)  # [B, R, T]
+        final = cs * jnp.mean(jax.nn.sigmoid(keep), axis=-1)
         final = jnp.where(cv & (cs > self.roi.score_thresh), final, 0.0)
         d = self.roi.detections_per_image
         det_scores, di = jax.lax.top_k(final, min(d, topk))
@@ -430,20 +437,33 @@ class _RCNNDrivers:
         app = self._gather_appearance(appearance, idx, b, s)
         keep = tape.apply(
             self.module, variables, app, cs, cb, cv, method="dup_removal"
-        ).astype(jnp.float32)
-        final = cs * jax.nn.sigmoid(keep)
+        ).astype(jnp.float32)  # [B, S, T]
+        final = cs[..., None] * jax.nn.sigmoid(keep)  # [B, S, T]
         gt_valid = batch["gt_valid"]
         if "gt_is_crowd" in batch:  # optional field (crowds never anchor)
             gt_valid = gt_valid & ~batch["gt_is_crowd"]
-        targets = jax.vmap(
-            lambda cbx, ccl, csc, cvl, gb, gc, gv: duplicate_removal_targets(
-                cbx, ccl, csc, cvl, gb, gc, gv, self.dup_iou
-            )
-        )(cb, cc, cs, cv, batch["gt_boxes"], batch["gt_classes"], gt_valid)
+        # One target column per IoU-threshold head: the eta=0.9 column only
+        # marks the tightest box positive, teaching the head the strict-IoU
+        # suppression a single eta=0.5 target never asks for.
+        targets = jnp.stack(
+            [
+                jax.vmap(
+                    lambda cbx, ccl, csc, cvl, gb, gc, gv, _t=t:
+                    duplicate_removal_targets(
+                        cbx, ccl, csc, cvl, gb, gc, gv, _t
+                    )
+                )(cb, cc, cs, cv, batch["gt_boxes"], batch["gt_classes"],
+                  gt_valid)
+                for t in self.dup_ious
+            ],
+            axis=-1,
+        )  # [B, S, T]
         prob = jnp.clip(final, 1e-6, 1.0 - 1e-6)
         bce = -(targets * jnp.log(prob) + (1 - targets) * jnp.log1p(-prob))
-        cvf = cv.astype(jnp.float32)
-        return jnp.sum(bce * cvf) / jnp.maximum(jnp.sum(cvf), 1.0)
+        cvf = cv.astype(jnp.float32)[..., None]
+        return jnp.sum(bce * cvf) / jnp.maximum(
+            jnp.sum(cvf) * len(self.dup_ious), 1.0
+        )
 
     def features_only(self, variables, batch, train, tape=None):
         tape = tape or StatsTape(variables)

@@ -194,9 +194,13 @@ def duplicate_removal_targets(
 
 
 class DuplicateRemovalModule(nn.Module):
-    """Learned NMS: rank-embedded relation attention -> per-ROI keep logit.
+    """Learned NMS: rank-embedded relation attention -> per-ROI keep logits.
 
-    Applied to score-sorted detections; final score = score * sigmoid(logit).
+    Applied to score-sorted detections; final score =
+    score * mean_t(sigmoid(logit_t)) over the IoU-threshold heads
+    (Hu et al. 2018 §4.3 "multiple thresholds": one output column per
+    training eta, shared relation features; a single eta=0.5 head
+    maximizes AP50 but leaves near-duplicates alive at strict IoU).
     """
 
     features: int = 128
@@ -204,13 +208,14 @@ class DuplicateRemovalModule(nn.Module):
     key_dim: int = 64
     geometry_dim: int = 64
     rank_dim: int = 128
+    num_thresholds: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, appearance: jnp.ndarray, scores: jnp.ndarray,
                  boxes: jnp.ndarray, valid: Optional[jnp.ndarray] = None):
         """appearance [B, R, D], scores [B, R] (sorted desc), boxes
-        [B, R, 4] -> keep logits [B, R]."""
+        [B, R, 4] -> keep logits [B, R, num_thresholds]."""
         b, r = scores.shape
         ranks = jnp.arange(r, dtype=jnp.float32)[:, None]
         rank_emb = sinusoid_embedding(ranks, self.rank_dim)  # [R, rank_dim]
@@ -224,4 +229,6 @@ class DuplicateRemovalModule(nn.Module):
             key_dim=self.key_dim, geometry_dim=self.geometry_dim,
             dtype=self.dtype, name="relation",
         )(x, boxes, valid)
-        return nn.Dense(1, dtype=self.dtype, name="logit")(x)[..., 0]
+        return nn.Dense(
+            self.num_thresholds, dtype=self.dtype, name="logit"
+        )(x)

@@ -185,3 +185,34 @@ def test_explicit_padding_conv_takes_unfused_path():
     )
     assert fused_epilogue_supported(1, 1, 1, 1, "FrozenBN", False, "SAME")
     assert fused_epilogue_supported(1, 1, 1, 1, "FrozenBN", False, "VALID")
+
+
+def test_dot_tail_formulation_matches_unfused(monkeypatch):
+    """D2TPU_DOT_TAIL=1 re-expresses the bottleneck tail's 1x1 conv as a
+    plain-XLA dot_general (channel-axis contraction) so the affine+add+relu
+    can output-fuse into the matmul (convolutions never admit that fusion —
+    see ops/pallas/fused_residual.py). Same params, bit-identical result."""
+    import numpy as np
+
+    from detectron2_tensorflow_tpu.models.layers import Conv2D
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16), jnp.bfloat16)
+    r = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 32), jnp.bfloat16)
+    m = Conv2D(features=32, kernel_size=1, strides=1, norm="FrozenBN",
+               dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x, residual=r)
+    # Non-trivial frozen stats so the affine actually does something.
+    v = dict(v)
+    v["frozen"] = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.RandomState(2).rand(*a.shape) + 0.5, a.dtype
+        ),
+        v["frozen"],
+    )
+    monkeypatch.delenv("D2TPU_DOT_TAIL", raising=False)
+    y0 = m.apply(v, x, residual=r)
+    monkeypatch.setenv("D2TPU_DOT_TAIL", "1")
+    y1 = m.apply(v, x, residual=r)
+    np.testing.assert_array_equal(
+        np.asarray(y0, np.float32), np.asarray(y1, np.float32)
+    )

@@ -1114,8 +1114,8 @@ def test_relation_duplicate_removal_matches_numpy_oracle():
             variables, jnp.asarray(app[idx])[None], jnp.asarray(cs)[None],
             jnp.asarray(cb)[None], jnp.asarray(cv)[None],
         )
-    )[0]
-    final = cs / (1.0 + np.exp(-keep))
+    )[0]  # [k, T] — one keep logit per IoU-threshold head
+    final = cs * (1.0 / (1.0 + np.exp(-keep))).mean(axis=-1)
     final = np.where(cv & (cs > cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST), final, 0.0)
     order = np.argsort(-final, kind="stable")[: cfg.TEST.DETECTIONS_PER_IMAGE]
     want_scores = final[order]
@@ -1127,11 +1127,13 @@ def test_relation_duplicate_removal_matches_numpy_oracle():
     # Tolerance note: keep logits pass candidate boxes through
     # sinusoid_embedding(100 * geometry), so the ~1e-5-px box drift between
     # the real pooler and the numpy oracle pool amplifies ~100x into the
-    # attention bias; observed rel drift is ~3e-3. The embedding formulas
-    # themselves are pinned exactly in tests/test_relation_paper.py.
+    # attention bias; observed rel drift is ~2e-2 worst-case across the
+    # multi-threshold keep heads (random-init sigmoids sit at different
+    # slopes per head). The embedding formulas themselves are pinned
+    # exactly in tests/test_relation_paper.py.
     np.testing.assert_allclose(
         np.asarray(got.scores[0])[got_valid], want_scores[want_valid],
-        rtol=1e-2, atol=1e-4,
+        rtol=3e-2, atol=1e-4,
     )
     np.testing.assert_array_equal(
         np.asarray(got.pred_classes[0])[got_valid], cc[order][want_valid]
