@@ -225,6 +225,14 @@ class Conv2D(nn.Module):
                     # of the affine+add+relu, so the conv result need not
                     # round-trip HBM before the residual add. Param tree
                     # identical to the other two paths by construction.
+                    # MEASURED DEAD END (round 4, kept opt-in for the
+                    # record): Mask R-CNN R50-FPN serving bench 154.7
+                    # img/s with D2TPU_DOT_TAIL=1 vs 170.7 with the conv
+                    # path — the dot's canonical [BHW, C] layout breaks
+                    # the batch-minormost {3,0,2,1} layout chain XLA
+                    # gives the surrounding convs, and the relayout
+                    # copies cost more than the saved HBM round trip
+                    # (the same failure mode as the Mosaic epilogue).
                     w = kernel.reshape(x.shape[-1], self.features)
                     y = jax.lax.dot_general(
                         x, w.astype(self.dtype),
