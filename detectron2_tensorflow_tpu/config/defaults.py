@@ -89,6 +89,12 @@ _C.EVAL.ALL_METRICS_PER_CATEGORY = False
 _C.EVAL.MAX_EXAMPLE_TO_DRAW = 100
 _C.EVAL.MIN_VISUALIZATION_SCORE_THRESH = 0.5
 _C.EVAL.PASCAL_MATCHING_IOU_THRESH = 0.5
+# Open-Images group-of box weight for the VOC family (reference
+# pascal_voc_evaluator.py group_of_weight): 0 ignores detections matched
+# (by IoA) to crowd/group-of boxes; w > 0 grants each matched group-of box
+# a fractional-TP pseudo-detection of weight w and counts it as w ground
+# truths.
+_C.EVAL.PASCAL_GROUP_OF_WEIGHT = 0.0
 _C.EVAL.CLASS_AGNOSTIC = False
 
 # ----------------------------------------------------------------------------
@@ -352,10 +358,12 @@ _C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOU = 0.5
 # keep logit per IoU threshold, shared relation features, probabilities
 # averaged at inference. A single eta=0.5 head optimizes AP50 at the cost
 # of high-IoU AP (measured: bbox AP 54.6 with AP50 94.2 on the overfit
-# gate); the ladder recovers the strict-IoU precision. Empty tuple means
-# use (DUPLICATE_REMOVAL_IOU,) alone.
-_C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOUS = (
-    0.5, 0.6, 0.7, 0.8, 0.9)
+# gate); the ladder recovers the strict-IoU precision. Empty tuple (the
+# default, matching the reference's single DUPLICATE_REMOVAL_IOU key and
+# keeping old single-head checkpoints loadable — the 'logit' Dense is
+# [F, len(ious)]) means use (DUPLICATE_REMOVAL_IOU,) alone; the shipped
+# relation config opts into the 5-eta ladder.
+_C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOUS = ()
 _C.MODEL.ROI_BOX_RELATION_HEAD.RANK_EMBEDDING_DIM = 128
 _C.MODEL.ROI_BOX_RELATION_HEAD.NMS_NUM_GROUP = 16
 

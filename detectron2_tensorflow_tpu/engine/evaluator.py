@@ -37,17 +37,23 @@ def _voc_factories(cfg):
     from ..evaluation.pascal_voc_eval import PascalVocEvaluator
 
     iou = cfg.EVAL.PASCAL_MATCHING_IOU_THRESH
+    gow = cfg.EVAL.PASCAL_GROUP_OF_WEIGHT
     return {
         "pascal_voc_detection_metrics": (
-            "voc_bbox", lambda n: PascalVocEvaluator(n, iou)),
+            "voc_bbox",
+            lambda n: PascalVocEvaluator(n, iou, group_of_weight=gow)),
         "weighted_pascal_voc_detection_metrics": (
             "voc_bbox_weighted",
-            lambda n: PascalVocEvaluator(n, iou, weighted=True)),
+            lambda n: PascalVocEvaluator(
+                n, iou, weighted=True, group_of_weight=gow)),
         "pascal_voc_instance_segmentation_metrics": (
-            "voc_segm", lambda n: PascalVocEvaluator(n, iou, use_masks=True)),
+            "voc_segm",
+            lambda n: PascalVocEvaluator(
+                n, iou, use_masks=True, group_of_weight=gow)),
         "weighted_pascal_voc_instance_segmentation_metrics": (
             "voc_segm_weighted",
-            lambda n: PascalVocEvaluator(n, iou, weighted=True, use_masks=True)),
+            lambda n: PascalVocEvaluator(
+                n, iou, weighted=True, use_masks=True, group_of_weight=gow)),
     }
 
 
@@ -247,6 +253,10 @@ def evaluate(
                 "boxes": raw["boxes"],
                 "classes": gt_classes,
                 "is_crowd": raw["is_crowd"],
+                # The VOC family reads crowd boxes as Open-Images group-of
+                # boxes (reference pascal_voc_evaluator.py:145 maps
+                # gt_is_crowd -> groundtruth_is_group_of_list).
+                "is_group_of": raw["is_crowd"],
                 "areas": raw.get("areas"),
             }
             det = {"boxes": boxes, "scores": scores, "classes": classes}

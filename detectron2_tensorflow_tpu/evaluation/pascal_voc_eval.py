@@ -24,6 +24,31 @@ def compute_average_precision(precision: np.ndarray, recall: np.ndarray) -> floa
     return float(np.sum((rec[idx + 1] - rec[idx]) * prec[idx + 1]))
 
 
+def _box_iou_1_to_many(db: np.ndarray, g_boxes: np.ndarray) -> np.ndarray:
+    """IoU of one box against [M, 4] boxes."""
+    inter = _box_intersection_1_to_many(db, g_boxes)
+    a_d = (db[2] - db[0]) * (db[3] - db[1])
+    a_g = (g_boxes[:, 2] - g_boxes[:, 0]) * (g_boxes[:, 3] - g_boxes[:, 1])
+    return inter / np.maximum(a_d + a_g - inter, 1e-10)
+
+
+def _box_ioa_1_to_many(db: np.ndarray, g_boxes: np.ndarray) -> np.ndarray:
+    """Intersection over the DETECTION's area (group-of matching rule,
+    reference np_box_list_ops.ioa transposed — per_image_evaluation.py
+    :386-387)."""
+    inter = _box_intersection_1_to_many(db, g_boxes)
+    a_d = (db[2] - db[0]) * (db[3] - db[1])
+    return inter / np.maximum(a_d, 1e-10)
+
+
+def _box_intersection_1_to_many(db: np.ndarray, g_boxes: np.ndarray) -> np.ndarray:
+    xx0 = np.maximum(db[0], g_boxes[:, 0])
+    yy0 = np.maximum(db[1], g_boxes[:, 1])
+    xx1 = np.minimum(db[2], g_boxes[:, 2])
+    yy1 = np.minimum(db[3], g_boxes[:, 3])
+    return np.clip(xx1 - xx0, 0, None) * np.clip(yy1 - yy0, 0, None)
+
+
 class PascalVocEvaluator:
     """Pascal VOC detection/instance-seg evaluator.
 
@@ -32,6 +57,17 @@ class PascalVocEvaluator:
     per-class APs (reference pascal_voc_evaluator.py:558-590,
     use_weighted_mean_ap). ``use_masks``: match by mask IoU instead of box
     IoU (reference PascalInstanceSegmentationEvaluator).
+
+    ``group_of_weight``: Open-Images-style group-of boxes (reference
+    pascal_voc_evaluator.py:52-57 + per_image_evaluation.py:462-505).
+    GT boxes flagged ``is_group_of`` are excluded from stage-1 IoU
+    matching; stage 2 re-matches the surviving false positives against
+    them by IoA (intersection / detection area). At weight 0 (default)
+    any detection inside a group-of box is simply ignored; at weight > 0
+    each group-of box with at least one matched detection contributes ONE
+    pseudo-detection carrying fractional TP credit ``group_of_weight`` at
+    the best matched score, and the box adds ``group_of_weight`` to the
+    class GT count (so unmatched group-of boxes act as fractional FNs).
     """
 
     def __init__(
@@ -41,24 +77,30 @@ class PascalVocEvaluator:
         class_names: Optional[List[str]] = None,
         weighted: bool = False,
         use_masks: bool = False,
+        group_of_weight: float = 0.0,
     ):
         self.num_classes = num_classes
         self.iou_thresh = matching_iou_threshold
         self.class_names = class_names
         self.weighted = weighted
         self.use_masks = use_masks
+        self.group_of_weight = float(group_of_weight)
         self._scores = [[] for _ in range(num_classes)]
-        self._tp = [[] for _ in range(num_classes)]
-        self._num_gt = np.zeros(num_classes, np.int64)
+        self._tp = [[] for _ in range(num_classes)]  # float TP credit
+        self._num_gt = np.zeros(num_classes, np.float64)
         self._images_with_gt = np.zeros(num_classes, np.int64)
         self._images_correctly_detected = np.zeros(num_classes, np.int64)
 
     def add_image(self, gt: Dict, det: Dict) -> None:
-        """gt: boxes/classes (+ is_difficult); det: boxes/scores/classes."""
+        """gt: boxes/classes (+ is_difficult, is_group_of);
+        det: boxes/scores/classes."""
         gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
         gt_classes = np.asarray(gt["classes"]).reshape(-1)
         difficult = np.asarray(
             gt.get("is_difficult", np.zeros(len(gt_boxes), bool))
+        )
+        group_of = np.asarray(
+            gt.get("is_group_of", np.zeros(len(gt_boxes), bool))
         )
         dt_boxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)
         dt_scores = np.asarray(det["scores"], np.float64).reshape(-1)
@@ -71,11 +113,16 @@ class PascalVocEvaluator:
         for c in range(self.num_classes):
             g_sel = gt_classes == c
             d_sel = dt_classes == c
-            g_boxes = gt_boxes[g_sel]
-            g_masks = gt_masks[g_sel] if self.use_masks else None
-            g_diff = difficult[g_sel]
-            self._num_gt[c] += int((~g_diff).sum())
-            if (~g_diff).sum() > 0:
+            ng = g_sel & ~group_of  # stage-1 (IoU) ground truth
+            go = g_sel & group_of  # stage-2 (IoA) group-of ground truth
+            g_boxes = gt_boxes[ng]
+            g_masks = gt_masks[ng] if self.use_masks else None
+            g_diff = difficult[ng]
+            go_boxes = gt_boxes[go]
+            go_masks = gt_masks[go] if self.use_masks else None
+            self._num_gt[c] += float((~g_diff).sum())
+            self._num_gt[c] += self.group_of_weight * float(go.sum())
+            if (~g_diff).sum() > 0 or go.sum() > 0:
                 self._images_with_gt[c] += 1
             if not d_sel.any():
                 continue
@@ -85,8 +132,11 @@ class PascalVocEvaluator:
             d_scores = dt_scores[d_sel][order]
 
             matched = np.zeros(len(g_boxes), bool)
+            # best matched detection score per group-of box (stage 2)
+            go_scores = np.zeros(len(go_boxes), np.float64)
             image_correct = False
             for i, db in enumerate(d_boxes):
+                # Stage 1: IoU match against non-group-of boxes.
                 if len(g_boxes):
                     if self.use_masks:
                         dm = d_masks[i].reshape(-1).astype(np.float64)
@@ -95,16 +145,7 @@ class PascalVocEvaluator:
                         union = gm.sum(1) + dm.sum() - inter
                         iou = inter / np.maximum(union, 1e-10)
                     else:
-                        xx0 = np.maximum(db[0], g_boxes[:, 0])
-                        yy0 = np.maximum(db[1], g_boxes[:, 1])
-                        xx1 = np.minimum(db[2], g_boxes[:, 2])
-                        yy1 = np.minimum(db[3], g_boxes[:, 3])
-                        inter = np.clip(xx1 - xx0, 0, None) * np.clip(yy1 - yy0, 0, None)
-                        a_d = (db[2] - db[0]) * (db[3] - db[1])
-                        a_g = (g_boxes[:, 2] - g_boxes[:, 0]) * (
-                            g_boxes[:, 3] - g_boxes[:, 1]
-                        )
-                        iou = inter / np.maximum(a_d + a_g - inter, 1e-10)
+                        iou = _box_iou_1_to_many(db, g_boxes)
                     j = int(np.argmax(iou))
                     if iou[j] >= self.iou_thresh:
                         if g_diff[j]:
@@ -112,11 +153,32 @@ class PascalVocEvaluator:
                         if not matched[j]:
                             matched[j] = True
                             self._scores[c].append(d_scores[i])
-                            self._tp[c].append(True)
+                            self._tp[c].append(1.0)
                             image_correct = True
                             continue
+                # Stage 2: this detection is a false positive so far —
+                # try the group-of boxes by IoA (intersection / det area).
+                if len(go_boxes):
+                    if self.use_masks:
+                        dm = d_masks[i].reshape(-1).astype(np.float64)
+                        gm = go_masks.reshape(len(go_masks), -1).astype(
+                            np.float64
+                        )
+                        ioa = (gm @ dm) / np.maximum(dm.sum(), 1e-10)
+                    else:
+                        ioa = _box_ioa_1_to_many(db, go_boxes)
+                    j = int(np.argmax(ioa))
+                    if ioa[j] >= self.iou_thresh:
+                        # ignore the detection itself; credit the group box
+                        go_scores[j] = max(go_scores[j], d_scores[i])
+                        continue
                 self._scores[c].append(d_scores[i])
-                self._tp[c].append(False)
+                self._tp[c].append(0.0)
+            if self.group_of_weight > 0:
+                for s in go_scores[go_scores > 0]:
+                    # one fractional-TP pseudo-detection per matched box
+                    self._scores[c].append(float(s))
+                    self._tp[c].append(self.group_of_weight)
             if image_correct:
                 self._images_correctly_detected[c] += 1
 
@@ -128,14 +190,16 @@ class PascalVocEvaluator:
             if self._num_gt[c] == 0:
                 continue
             scores = np.asarray(self._scores[c])
-            tp = np.asarray(self._tp[c], bool)
+            tp = np.asarray(self._tp[c], np.float64)
             if self.weighted:
                 all_scores.append(scores)
                 all_tp.append(tp)
             order = np.argsort(-scores, kind="mergesort")
             tp = tp[order]
             cum_tp = np.cumsum(tp)
-            cum_fp = np.cumsum(~tp)
+            # a label is FP iff it carries no TP credit (fractional
+            # group-of credit counts as TP-only — reference metrics.py:42)
+            cum_fp = np.cumsum(tp <= 0)
             recall = cum_tp / self._num_gt[c]
             precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-10)
             ap = compute_average_precision(precision, recall)
@@ -150,12 +214,12 @@ class PascalVocEvaluator:
             # Corpus-level AP: pool every class's detections against the
             # total GT count (reference use_weighted_mean_ap).
             scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
-            tp = np.concatenate(all_tp) if all_tp else np.zeros(0, bool)
+            tp = np.concatenate(all_tp) if all_tp else np.zeros(0)
             order = np.argsort(-scores, kind="mergesort")
             tp = tp[order]
             cum_tp = np.cumsum(tp)
-            cum_fp = np.cumsum(~tp)
-            n_gt = max(int(self._num_gt.sum()), 1)
+            cum_fp = np.cumsum(tp <= 0)
+            n_gt = max(float(self._num_gt.sum()), 1.0)
             recall = cum_tp / n_gt
             precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-10)
             out["mAP"] = 100 * compute_average_precision(precision, recall)

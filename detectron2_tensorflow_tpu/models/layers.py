@@ -190,6 +190,7 @@ class Conv2D(nn.Module):
                 "residual implies the trailing relu; set activation=''"
             )
             from ..ops.pallas.fused_residual import (
+                epilogue_shape_supported,
                 fused_conv1x1_bn_add_relu,
                 fused_epilogue_supported,
             )
@@ -197,11 +198,9 @@ class Conv2D(nn.Module):
             import os as _os
 
             _dot_tail = _os.environ.get("D2TPU_DOT_TAIL", "0") == "1"
-            _tail_ok = (
-                self.kernel_size == 1 and self.strides == 1
-                and self.groups == 1 and self.dilation == 1
-                and self.norm == "FrozenBN" and not bias
-                and self.padding in ("SAME", "VALID")
+            _tail_ok = epilogue_shape_supported(
+                self.kernel_size, self.strides, self.groups,
+                self.dilation, self.norm, bias, self.padding,
             )
             if (_dot_tail and _tail_ok) or fused_epilogue_supported(
                 self.kernel_size, self.strides, self.groups,
@@ -235,7 +234,9 @@ class Conv2D(nn.Module):
                     # (the same failure mode as the Mosaic epilogue).
                     w = kernel.reshape(x.shape[-1], self.features)
                     y = jax.lax.dot_general(
-                        x, w.astype(self.dtype),
+                        # promote-to-dtype mirrors nn.Conv: without the x
+                        # cast an f32 input silently runs the dot in f32.
+                        x.astype(self.dtype), w.astype(self.dtype),
                         (((3,), (0,)), ((), ())),
                     )
                     y = y * scale.astype(y.dtype) + shift.astype(y.dtype)

@@ -86,7 +86,8 @@ class GeneralizedRCNNModule(nn.Module):
         return scores, deltas, None
 
     def dup_removal(self, appearance, scores, boxes, valid):
-        """Keep logits [B, N] for score-sorted candidates (learned NMS)."""
+        """Keep logits [B, N, T] for score-sorted candidates (learned NMS),
+        one column per IoU-threshold head (Hu et al. §4.3)."""
         assert self.duplicate_removal is not None
         return self.duplicate_removal(appearance, scores, boxes, valid)
 
@@ -391,8 +392,9 @@ class _RCNNDrivers:
     def dup_removal_inference(
         self, variables, scores, ds, proposals, appearance, image_sizes
     ) -> Instances:
-        """Learned NMS: final score = cls score * sigmoid(keep logit), then
-        a plain top-k — no greedy suppression anywhere."""
+        """Learned NMS: final score = cls score * mean_t(sigmoid(keep
+        logit_t)) over the T threshold heads, then a plain top-k — no
+        greedy suppression anywhere."""
         b, p = proposals.proposal_boxes.shape[:2]
         topk = min(p, 4 * self.roi.detections_per_image)
         cs, cc, cb, cv, idx = self._dup_candidates(
@@ -426,9 +428,10 @@ class _RCNNDrivers:
         self, variables, tape, scores, ds, appearance, sampled, batch,
         image_sizes,
     ) -> jnp.ndarray:
-        """BCE on the multiplied score against one-positive-per-GT targets
-        at IoU >= DUPLICATE_REMOVAL_IOU (the paper's training rule)."""
-        from ..roi_heads.relation import duplicate_removal_targets
+        """BCE on the multiplied score against one-positive-per-GT targets,
+        one target column per eta in ``dup_ious`` (the paper's training
+        rule, §4.3 multi-threshold form)."""
+        from ..roi_heads.relation import duplicate_removal_targets_multi
 
         b, s = sampled.boxes.shape[:2]
         cs, cc, cb, cv, idx = self._dup_candidates(
@@ -444,20 +447,15 @@ class _RCNNDrivers:
             gt_valid = gt_valid & ~batch["gt_is_crowd"]
         # One target column per IoU-threshold head: the eta=0.9 column only
         # marks the tightest box positive, teaching the head the strict-IoU
-        # suppression a single eta=0.5 target never asks for.
-        targets = jnp.stack(
-            [
-                jax.vmap(
-                    lambda cbx, ccl, csc, cvl, gb, gc, gv, _t=t:
-                    duplicate_removal_targets(
-                        cbx, ccl, csc, cvl, gb, gc, gv, _t
-                    )
-                )(cb, cc, cs, cv, batch["gt_boxes"], batch["gt_classes"],
-                  gt_valid)
-                for t in self.dup_ious
-            ],
-            axis=-1,
-        )  # [B, S, T]
+        # suppression a single eta=0.5 target never asks for. The [S, G]
+        # IoU/eligibility work is shared across etas (one pass, T columns).
+        targets = jax.vmap(
+            lambda cbx, ccl, csc, cvl, gb, gc, gv:
+            duplicate_removal_targets_multi(
+                cbx, ccl, csc, cvl, gb, gc, gv, self.dup_ious
+            )
+        )(cb, cc, cs, cv, batch["gt_boxes"], batch["gt_classes"],
+          gt_valid)  # [B, S, T]
         prob = jnp.clip(final, 1e-6, 1.0 - 1e-6)
         bce = -(targets * jnp.log(prob) + (1 - targets) * jnp.log1p(-prob))
         cvf = cv.astype(jnp.float32)[..., None]

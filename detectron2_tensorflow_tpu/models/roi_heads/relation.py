@@ -178,19 +178,42 @@ def duplicate_removal_targets(
     GT at IoU >= ``iou_thresh`` with the right class, else 0 (the paper's
     'one positive per ground truth' rule; ties break to the earlier
     candidate via argmax)."""
+    return duplicate_removal_targets_multi(
+        cand_boxes, cand_classes, cand_scores, cand_valid,
+        gt_boxes, gt_classes, gt_valid, (iou_thresh,),
+    )[:, 0]
+
+
+def duplicate_removal_targets_multi(
+    cand_boxes: jnp.ndarray,  # [N, 4]
+    cand_classes: jnp.ndarray,  # [N]
+    cand_scores: jnp.ndarray,  # [N]
+    cand_valid: jnp.ndarray,  # [N]
+    gt_boxes: jnp.ndarray,  # [G, 4]
+    gt_classes: jnp.ndarray,  # [G]
+    gt_valid: jnp.ndarray,  # [G]
+    iou_threshs,  # static tuple of T floats
+) -> jnp.ndarray:
+    """[N, T] one-positive-per-GT targets, one column per IoU threshold
+    (Hu et al. §4.3 multi-threshold heads). The [N, G] pairwise IoU and the
+    class/validity eligibility are computed ONCE and shared across etas —
+    only the threshold comparison differs per column."""
     n = cand_boxes.shape[0]
     iou = box_ops.pairwise_iou(cand_boxes, gt_boxes)  # [N, G]
-    eligible = (
-        (iou >= iou_thresh)
-        & (cand_classes[:, None] == gt_classes[None, :])
+    base = (
+        (cand_classes[:, None] == gt_classes[None, :])
         & cand_valid[:, None]
         & gt_valid[None, :]
     )
-    masked = jnp.where(eligible, cand_scores[:, None], -jnp.inf)
-    winner = jnp.argmax(masked, axis=0)  # [G]
-    has_any = jnp.any(eligible, axis=0)  # [G]
-    onehot = (jnp.arange(n)[:, None] == winner[None, :]) & has_any[None, :]
-    return jnp.any(onehot, axis=1).astype(jnp.float32)
+    cols = []
+    for t in iou_threshs:
+        eligible = base & (iou >= t)
+        masked = jnp.where(eligible, cand_scores[:, None], -jnp.inf)
+        winner = jnp.argmax(masked, axis=0)  # [G]
+        has_any = jnp.any(eligible, axis=0)  # [G]
+        onehot = (jnp.arange(n)[:, None] == winner[None, :]) & has_any[None, :]
+        cols.append(jnp.any(onehot, axis=1).astype(jnp.float32))
+    return jnp.stack(cols, axis=-1)
 
 
 class DuplicateRemovalModule(nn.Module):

@@ -215,6 +215,23 @@ def fused_epilogue_supported(
     # honors custom layouts on pallas_call operands.
     if not os.environ.get("D2TPU_ENABLE_FUSED_EPILOGUE"):
         return False
+    return epilogue_shape_supported(
+        kernel_size, strides, groups, dilation, norm, use_bias, padding
+    )
+
+
+def epilogue_shape_supported(
+    kernel_size: int,
+    strides: int,
+    groups: int,
+    dilation: int,
+    norm: str,
+    use_bias: bool,
+    padding="SAME",
+) -> bool:
+    """The shape-only predicate behind ``fused_epilogue_supported`` (no env
+    gate) — shared with Conv2D's opt-in dot-tail formulation so the two
+    paths can never drift on which convs qualify."""
     return (
         kernel_size == 1
         and strides == 1

@@ -89,6 +89,79 @@ def test_pascal_voc_difficult_ignored():
     assert m["mAP"] == 0.0
 
 
+def test_pascal_voc_group_of_ignores_matched_detections():
+    """group_of_weight=0 (reference default): a detection whose IoA with a
+    group-of (crowd) box passes the threshold is neither TP nor FP, and the
+    group-of box never counts as ground truth
+    (reference per_image_evaluation.py:462-505, group-of stage)."""
+    ev = PascalVocEvaluator(num_classes=1)
+    gt = {
+        "boxes": np.array([[0, 0, 10, 10], [50, 50, 150, 150]], np.float64),
+        "classes": np.array([0, 0]),
+        "is_group_of": np.array([False, True]),
+    }
+    det = {
+        # det 2 is a small box fully inside the group-of box: IoU with it
+        # is only 0.01 but IoA (inter / det area) is 1.0 -> group-matched.
+        "boxes": np.array([[0, 0, 10, 10], [60, 60, 70, 70]], np.float64),
+        "scores": np.array([0.9, 0.8]),
+        "classes": np.array([0, 0]),
+    }
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    assert abs(m["mAP"] - 100.0) < 1e-4  # the would-be FP was ignored
+
+
+def test_pascal_voc_group_of_weight_fractional_fn():
+    """group_of_weight>0: an UNMATCHED group-of box adds weight w to the
+    GT count, acting as a fractional false negative (reference
+    pascal_voc_evaluator.py:52-57 + _update_ground_truth_statistics)."""
+    ev = PascalVocEvaluator(num_classes=1, group_of_weight=0.5)
+    gt = {
+        "boxes": np.array([[0, 0, 10, 10], [50, 50, 150, 150]], np.float64),
+        "classes": np.array([0, 0]),
+        "is_group_of": np.array([False, True]),
+    }
+    det = {  # only the normal box is detected
+        "boxes": np.array([[0, 0, 10, 10]], np.float64),
+        "scores": np.array([0.9]),
+        "classes": np.array([0]),
+    }
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    # num_gt = 1 + 0.5; one perfect TP -> recall caps at 2/3, precision 1.
+    assert abs(m["mAP"] - 100.0 * (1 / 1.5)) < 1e-4
+
+
+def test_pascal_voc_group_of_weight_fractional_tp():
+    """group_of_weight>0 with matches: the group-of box contributes ONE
+    pseudo-detection at the BEST matched score with fractional TP credit w
+    (reference per_image_evaluation.py:486-498: scores_group_of keeps the
+    max; one entry per group-of box, not per matched detection)."""
+    ev = PascalVocEvaluator(num_classes=1, group_of_weight=1.0)
+    gt = {
+        "boxes": np.array([[50, 50, 150, 150]], np.float64),
+        "classes": np.array([0]),
+        "is_group_of": np.array([True]),
+    }
+    det = {
+        # two dets inside the group box (collapse to one pseudo-entry at
+        # score 0.8) + one unmatched FP at score 0.9
+        "boxes": np.array(
+            [[60, 60, 70, 70], [80, 80, 95, 95], [300, 300, 320, 320]],
+            np.float64,
+        ),
+        "scores": np.array([0.3, 0.8, 0.9]),
+        "classes": np.array([0, 0, 0]),
+    }
+    ev.add_image(gt, det)
+    m = ev.evaluate()
+    # Entries sorted by score: FP@0.9 then pseudo-TP@0.8 (credit 1.0);
+    # num_gt = 1.0 -> continuous-interpolation AP = 0.5. Two pseudo
+    # entries (a dedupe bug) would push cum_tp past num_gt instead.
+    assert abs(m["mAP"] - 50.0) < 1e-4
+
+
 def test_draw_detections_runs():
     img = np.zeros((64, 64, 3), np.uint8)
     out = draw_detections(
