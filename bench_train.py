@@ -49,6 +49,13 @@ def train_cfg(batch_size: int = 8, remat: bool = False):
     cfg.SOLVER.AUTO_SCALE_LR_SCHEDULE = False
     cfg.INPUT.MAX_GT_INSTANCES = 64
     cfg.MODEL.RESNETS.REMAT = remat
+    # Experiment toggle (see ROUND5/ROUND6 notes): the train audit puts the
+    # 7x7/2 stem conv at 0.358 ms/img, eff 0.14 — the space-to-depth
+    # rewrite was a serving-shape dead end (round 3) but trains differently.
+    import os
+
+    if os.environ.get("D2TPU_BENCH_S2D", "0") == "1":
+        cfg.MODEL.RESNETS.STEM_SPACE_TO_DEPTH = True
     return cfg
 
 

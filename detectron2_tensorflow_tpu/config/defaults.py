@@ -364,6 +364,11 @@ _C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOU = 0.5
 # [F, len(ious)]) means use (DUPLICATE_REMOVAL_IOU,) alone; the shipped
 # relation config opts into the 5-eta ladder.
 _C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_IOUS = ()
+# How the T threshold heads combine at inference: "mean" (paper §4.3) or
+# "max" (keep what any head votes for; duplicates are positive in no head
+# so they stay suppressed — fixes the mean rule's AP50 drag from strict-eta
+# heads down-scoring loose-but-correct boxes).
+_C.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_COMBINE = "mean"
 _C.MODEL.ROI_BOX_RELATION_HEAD.RANK_EMBEDDING_DIM = 128
 _C.MODEL.ROI_BOX_RELATION_HEAD.NMS_NUM_GROUP = 16
 

@@ -334,9 +334,30 @@ def max_pool(x: jnp.ndarray, window: int, stride: int, padding="SAME") -> jnp.nd
         # Same even-padding consideration as Conv2D above (stem maxpool).
         p = (window - 1) // 2
         padding = [(p, p), (p, p)]
+    import os as _os
+
+    if (
+        window == 3 and stride == 2 and padding == [(1, 1), (1, 1)]
+        and _os.environ.get("D2TPU_SEPARABLE_STEM_POOL", "0") == "1"
+    ):  # measured-first opt-in; see max_pool_3x3_s2_separable
+        return max_pool_3x3_s2_separable(x)
     return nn.max_pool(
         x, window_shape=(window, window), strides=(stride, stride), padding=padding
     )
+
+
+def max_pool_3x3_s2_separable(x: jnp.ndarray) -> jnp.ndarray:
+    """The stem's 3x3/2 maxpool as two rank-1 passes: rows (3x1, stride
+    (2, 1)) then columns (1x3, stride (1, 2)). Exact — max over a 3x3
+    window separates into max-of-row-maxes (tests/test_layers_fast.py).
+
+    Why: the fused reduce-window reads 9 strided taps per output and
+    measured 41% of HBM bandwidth at the serving shape (roofline audit,
+    ROUND5.md); each separable pass is a contiguous 3-tap sweep with a
+    2.25x smaller intermediate than the input, trading ~60% more bytes for
+    much higher achieved bandwidth."""
+    r = nn.max_pool(x, (3, 1), strides=(2, 1), padding=[(1, 1), (0, 0)])
+    return nn.max_pool(r, (1, 3), strides=(1, 2), padding=[(0, 0), (1, 1)])
 
 
 class GCN(nn.Module):

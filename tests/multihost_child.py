@@ -21,6 +21,23 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8 if pid < 0 else 4)
+    # Persistent compile cache for the SINGLE-process reference child only
+    # (same dir as tests/conftest.py): its step compile dominates the serial
+    # tail of the test. The 2-process children must NOT use it — measured on
+    # this 1-core host, a cache hit lets one peer sprint to its first
+    # collective while the other still compiles, blowing Gloo's 30 s
+    # key-value handshake deadline (flaky DEADLINE_EXCEEDED).
+    if pid < 0:
+        _cache = os.path.expanduser(
+            "~/.cache/detectron2_tensorflow_tpu/xla-tests"
+        )
+        try:
+            os.makedirs(_cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        except (OSError, AttributeError, ValueError):
+            pass
     if pid >= 0:
         jax.distributed.initialize(
             f"localhost:{port}", num_processes=2, process_id=pid

@@ -62,6 +62,8 @@ def get_cfg_for(arch: str):
         cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_ON = (
             "--no-dup" not in sys.argv
         )
+        if "--dup-max" in sys.argv:  # max-over-eta combine ablation
+            cfg.MODEL.ROI_BOX_RELATION_HEAD.DUPLICATE_REMOVAL_COMBINE = "max"
     elif arch == "semantic":
         cfg.merge_from_file(
             "configs/COCO-SemanticSegmentation/semantic_R_50_FPN_1x.yaml"
