@@ -288,18 +288,25 @@ class StandardROIHeads:
         )  # [B, M, out, out]
         targets = (targets > 0.5).astype(jnp.float32)
 
-        k = mask_logits.shape[-1]
-        logits = mask_logits.reshape(b, m, out_size, out_size, k)
+        # Gather the class channel on the FLAT [N, out, out, K] logits and
+        # reshape the small selected tensor afterwards: reshaping the full
+        # 5-D logits first puts the backward's scatter behind a reshape
+        # whose transpose materializes a [B, M, out, out, K] relayout copy
+        # (measured 0.17 ms/img at eff 0.23 in the train audit) — the
+        # flat-gather form scatters straight into the head's native layout.
         if self.cls_agnostic_mask:
-            sel = logits[..., 0]
+            sel_flat = mask_logits[..., 0]
         else:
-            cls = jnp.clip(sampled.gt_classes[:, :m], 0, self.num_classes - 1)
-            sel = jnp.take_along_axis(
-                logits, cls[:, :, None, None, None], axis=-1
+            cls_flat = jnp.clip(
+                sampled.gt_classes[:, :m], 0, self.num_classes - 1
+            ).reshape(-1)
+            sel_flat = jnp.take_along_axis(
+                mask_logits, cls_flat[:, None, None, None], axis=-1
             )[..., 0]
+        sel = sel_flat.reshape(b, m, out_size, out_size)
         # Gather in the head's native dtype, THEN cast: the transpose of
         # this cast+gather is a scatter of the per-ROI grads into a zeros
-        # tensor of the full [B, M, out, out, K] logits — in bf16 instead
+        # tensor of the full [N, out, out, K] logits — in bf16 instead
         # of f32 it moves half the bytes, and scattering casts equals
         # casting the scatter (placement only).
         ce = sigmoid_cross_entropy(sel.astype(jnp.float32), targets)

@@ -179,6 +179,130 @@ def np_anchors(grid_hw, stride, sizes, ratios):
     return (shifts + cell[None]).reshape(-1, 4)
 
 
+def _frozen_affine(fz, eps=1e-5):
+    """models/layers.py FrozenBatchNorm.folded_affine in numpy f64."""
+    scale = np.asarray(fz["scale"], np.float64) / np.sqrt(
+        np.asarray(fz["var"], np.float64) + eps
+    )
+    shift = np.asarray(fz["bias"], np.float64) - np.asarray(
+        fz["mean"], np.float64
+    ) * scale
+    return scale, shift
+
+
+def _fbn_conv(x, p, fz, stride=1, relu=False):
+    """Conv2D with norm='FrozenBN' (no bias) + optional relu."""
+    out = np_conv(x, p["conv"]["kernel"], stride)
+    scale, shift = _frozen_affine(fz["FrozenBatchNorm_0"])
+    out = out * scale + shift
+    return np.maximum(out, 0.0) if relu else out
+
+
+def np_bottleneck(x, p, fz, stride, has_shortcut, stride_in_1x1=True):
+    """backbones/resnet.py BottleneckBlock: 1x1 -> 3x3 -> 1x1 with the MSRA
+    stride placement (stride on the 1x1 when stride_in_1x1)."""
+    s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
+    out = _fbn_conv(x, p["conv1"], fz["conv1"], s1, relu=True)
+    out = _fbn_conv(out, p["conv2"], fz["conv2"], s3, relu=True)
+    sc = (
+        _fbn_conv(x, p["shortcut"], fz["shortcut"], stride)
+        if has_shortcut
+        else x
+    )
+    out = _fbn_conv(out, p["conv3"], fz["conv3"])
+    return np.maximum(out + sc, 0.0)
+
+
+def test_r50_frozenbn_trunk_matches_numpy_oracle():
+    """The converted-weight trunk path — bottleneck blocks + FrozenBN —
+    against the same independent numpy transcription. Frozen statistics are
+    RANDOMIZED before comparison (at init FrozenBN folds to identity and a
+    scale/shift mix-up would pass silently)."""
+    cfg = tiny_rcnn_cfg()
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.NORM = "FrozenBN"
+    cfg.MODEL.BACKBONE.FREEZE_AT = 2
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (64, 128, 3)).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(img[None]),
+        "image_size": jnp.asarray([[64, 128]], jnp.int32),
+    }
+    with jax.default_matmul_precision("highest"):
+        variables = jax.jit(model.init)(jax.random.PRNGKey(2), batch)
+    # Perturb every frozen stat NEAR identity: FrozenBN does not
+    # re-normalize, so bold stats compound multiplicatively over ~50 convs
+    # and push activations to 1e7 where f32 relu-boundary flips defeat any
+    # fixed tolerance; +-10% still catches scale/shift/mean/var mix-ups.
+    frozen = jax.tree.map(
+        lambda x: jnp.asarray(
+            (1.0 + rng.uniform(-0.1, 0.1, x.shape)).astype(np.float32)
+            if x.shape else x
+        ),
+        jax.device_get(variables["frozen"]),
+    )
+    variables = dict(variables)
+    variables["frozen"] = frozen
+
+    module, rpn_drv, roi_drv, neck_shapes, dtype = _build_rcnn_parts(cfg)
+    drv = _RCNNDrivers(cfg, module, rpn_drv, roi_drv, neck_shapes, dtype, False)
+    with jax.default_matmul_precision("highest"):
+        m_feats, m_logits, _ = jax.device_get(
+            jax.jit(lambda v, b: drv.features_and_rpn(v, b, False))(
+                variables, batch
+            )
+        )
+
+    params = jax.device_get(variables["params"])
+    fz = jax.device_get(frozen)
+    mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float64)
+    std = np.asarray(cfg.MODEL.PIXEL_STD, np.float64)
+    x = (np.asarray(img, np.float64) - mean) / std
+    if cfg.MODEL.INPUT_FORMAT == "BGR":
+        x = x[..., ::-1]
+
+    bb, bfz = params["backbone"], fz["backbone"]
+    x = _fbn_conv(x, bb["stem"]["conv1"], bfz["stem"]["conv1"], 2, relu=True)
+    x = np_maxpool_3x3_s2(x)
+    feats = {}
+    for idx, (name, nblocks) in enumerate(
+        [("res2", 3), ("res3", 4), ("res4", 6), ("res5", 3)]
+    ):
+        for b in range(nblocks):
+            x = np_bottleneck(
+                x, bb[name][str(b)], bfz[name][str(b)],
+                stride=(2 if idx > 0 and b == 0 else 1),
+                has_shortcut=(b == 0),
+            )
+        feats[name] = x
+    planes = np_fpn(feats, params["neck"])
+    fnames = ["p2", "p3", "p4", "p5", "p6"]
+    logits, _ = np_rpn_head([planes[f] for f in fnames], params["rpn_head"])
+
+    # FrozenBN does not re-normalize, so f32 accumulation drift compounds
+    # through the 50-conv stack; pointwise tolerances then trip on
+    # cancellation near relu boundaries (measured: 0.1% of elements, max
+    # abs 0.06). A layout/padding bug shifts whole rows — normalized RMS
+    # error O(1) — so gate on aggregate RMS (tight) plus a loose pointwise
+    # cap.
+    def check(got, want, what):
+        got = np.asarray(got, np.float64)
+        rms = np.sqrt(np.mean((got - want) ** 2))
+        scale = np.sqrt(np.mean(want**2)) + 1e-9
+        assert rms / scale < 3e-4, (what, rms / scale)
+        np.testing.assert_allclose(
+            got, want, rtol=5e-2, atol=0.15, err_msg=what
+        )
+
+    for f in fnames:
+        check(m_feats[f][0], planes[f], f"trunk feature {f}")
+    for lv, f in enumerate(fnames):
+        check(m_logits[lv][0], logits[lv], f"rpn logits {f}")
+
+
 def test_image_to_detections_matches_numpy_trunk_oracle():
     cfg = tiny_rcnn_cfg()
     cfg.MODEL.MASK_ON = False
