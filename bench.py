@@ -1,6 +1,9 @@
 """Benchmark: Mask R-CNN R50-FPN inference images/sec on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the inference JSON line {"metric", "value", "unit", "vs_baseline"}
+AS SOON AS it is measured (flushed — un-losable under a driver timeout),
+then, budget permitting, a second line with train_* keys added; the driver
+takes the last parseable line.
 Baseline: Detectron2 model zoo Mask R-CNN R50-FPN 1x on V100 = 0.043 s/im
 (23.3 img/s); the north-star goal is >= 2x that per chip (BASELINE.md).
 
