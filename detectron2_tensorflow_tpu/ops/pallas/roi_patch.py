@@ -33,6 +33,7 @@ pass.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -309,7 +310,13 @@ def _make_kernel(group, precision):
     return kernel
 
 
-BWD_GROUP = 4  # ROIs accumulated per backward grid step
+# ROIs accumulated per backward grid step. Larger groups halve the
+# sequential step count at the cost of proportionally more scoped VMEM
+# and a higher same-region hazard rate. MEASURED (round 5, Mask R-CNN
+# R50-FPN train batch 16 on v5e-1): D2TPU_BWD_GROUP=8 regresses the full
+# step 52.8 -> 47.7 img/s — the doubled scoped-VMEM footprint (32 MB)
+# crowds out the surrounding fusions' buffers; 4 stays the default.
+BWD_GROUP = int(os.environ.get("D2TPU_BWD_GROUP", "4"))
 
 
 def _make_bwd_kernel(group):
@@ -463,7 +470,13 @@ def roi_patch_backward(g, starts, wy, wx, out_shape, interpret=False,
     bsz, n, s, p = wy.shape
     c = out_shape[-1]
     # f32 read + write-back slots per member (see scratch_shapes below).
-    group = _vmem_group(BWD_GROUP, p, c, 4, buffers=2)
+    # Budget scales with the requested group so D2TPU_BWD_GROUP=8 isn't
+    # silently re-capped to the default-4 VMEM allowance; the C4/DC5
+    # 1024-channel cap still applies proportionally.
+    group = _vmem_group(
+        BWD_GROUP, p, c, 4, buffers=2,
+        budget=10 * 1024 * 1024 * max(1, BWD_GROUP // 4),
+    )
     m = -(-n // group) * group
     pad = m - n
 
