@@ -42,24 +42,27 @@ pytestmark = pytest.mark.slow  # full-detector jit compile
 # --- f64 numpy layers (structure mirrors models/layers.py semantics) -------
 
 
-def np_conv(x, k, stride=1, bias=None):
+def np_conv(x, k, stride=1, bias=None, dilation=1):
     """Direct conv via im2col, NHWC[0]/HWIO, f64.
 
     Padding follows Conv2D: SAME for stride 1 (odd kernels -> symmetric
-    (k-1)//2), and the explicit symmetric D2 padding for stride > 1
-    (models/layers.py Conv2D padding note)."""
+    (k-1)//2 * dilation), and the explicit symmetric D2 padding for
+    stride > 1 (models/layers.py Conv2D padding note)."""
     x = np.asarray(x, np.float64)
     k = np.asarray(k, np.float64)
     kh, kw, cin, cout = k.shape
-    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    ph, pw = (kh - 1) // 2 * dilation, (kw - 1) // 2 * dilation
     xp = np.pad(x, ((ph, ph), (pw, pw), (0, 0)))
-    oh = (xp.shape[0] - kh) // stride + 1
-    ow = (xp.shape[1] - kw) // stride + 1
+    ke_h = (kh - 1) * dilation + 1
+    ke_w = (kw - 1) * dilation + 1
+    oh = (xp.shape[0] - ke_h) // stride + 1
+    ow = (xp.shape[1] - ke_w) // stride + 1
     cols = np.empty((oh, ow, kh * kw * cin), np.float64)
     for i in range(kh):
         for j in range(kw):
             cols[..., (i * kw + j) * cin:(i * kw + j + 1) * cin] = xp[
-                i:i + oh * stride:stride, j:j + ow * stride:stride
+                i * dilation:i * dilation + oh * stride:stride,
+                j * dilation:j * dilation + ow * stride:stride,
             ]
     out = cols @ k.reshape(-1, cout)
     if bias is not None:
@@ -190,20 +193,23 @@ def _frozen_affine(fz, eps=1e-5):
     return scale, shift
 
 
-def _fbn_conv(x, p, fz, stride=1, relu=False):
+def _fbn_conv(x, p, fz, stride=1, relu=False, dilation=1):
     """Conv2D with norm='FrozenBN' (no bias) + optional relu."""
-    out = np_conv(x, p["conv"]["kernel"], stride)
+    out = np_conv(x, p["conv"]["kernel"], stride, dilation=dilation)
     scale, shift = _frozen_affine(fz["FrozenBatchNorm_0"])
     out = out * scale + shift
     return np.maximum(out, 0.0) if relu else out
 
 
-def np_bottleneck(x, p, fz, stride, has_shortcut, stride_in_1x1=True):
+def np_bottleneck(x, p, fz, stride, has_shortcut, stride_in_1x1=True,
+                  dilation=1):
     """backbones/resnet.py BottleneckBlock: 1x1 -> 3x3 -> 1x1 with the MSRA
-    stride placement (stride on the 1x1 when stride_in_1x1)."""
+    stride placement (stride on the 1x1 when stride_in_1x1); the 3x3
+    carries the DC5 dilation."""
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
     out = _fbn_conv(x, p["conv1"], fz["conv1"], s1, relu=True)
-    out = _fbn_conv(out, p["conv2"], fz["conv2"], s3, relu=True)
+    out = _fbn_conv(out, p["conv2"], fz["conv2"], s3, relu=True,
+                    dilation=dilation)
     sc = (
         _fbn_conv(x, p["shortcut"], fz["shortcut"], stride)
         if has_shortcut
@@ -301,6 +307,130 @@ def test_r50_frozenbn_trunk_matches_numpy_oracle():
         check(m_feats[f][0], planes[f], f"trunk feature {f}")
     for lv, f in enumerate(fnames):
         check(m_logits[lv][0], logits[lv], f"rpn logits {f}")
+
+
+def _rms_check(got, want, what, tol=3e-4):
+    got = np.asarray(got, np.float64)
+    rms = np.sqrt(np.mean((got - want) ** 2))
+    scale = np.sqrt(np.mean(want**2)) + 1e-9
+    assert rms / scale < tol, (what, rms / scale)
+
+
+def test_dc5_dilated_trunk_matches_numpy_oracle():
+    """DC5 trunk (Base-RCNN-DilatedC5): res5 at dilation 2, stride 16,
+    FrozenBN — the dilated converted-weight path the other oracles miss."""
+    cfg = tiny_rcnn_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-DilatedC5.yaml")
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.NORM = "FrozenBN"
+    cfg.MODEL.NECK.NAME = ""
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64, 128, 256, 512]]
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0, 255, (64, 128, 3)).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(img[None]),
+        "image_size": jnp.asarray([[64, 128]], jnp.int32),
+    }
+    with jax.default_matmul_precision("highest"):
+        variables = jax.jit(model.init)(jax.random.PRNGKey(4), batch)
+    frozen = jax.tree.map(
+        lambda x: jnp.asarray(
+            (1.0 + rng.uniform(-0.1, 0.1, x.shape)).astype(np.float32)
+        ),
+        jax.device_get(variables["frozen"]),
+    )
+    variables = dict(variables)
+    variables["frozen"] = frozen
+
+    module, rpn_drv, roi_drv, neck_shapes, dtype = _build_rcnn_parts(cfg)
+    drv = _RCNNDrivers(cfg, module, rpn_drv, roi_drv, neck_shapes, dtype, False)
+    with jax.default_matmul_precision("highest"):
+        m_feats, m_logits, _ = jax.device_get(
+            jax.jit(lambda v, b: drv.features_and_rpn(v, b, False))(
+                variables, batch
+            )
+        )
+
+    params = jax.device_get(variables["params"])
+    fz = jax.device_get(frozen)
+    mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float64)
+    std = np.asarray(cfg.MODEL.PIXEL_STD, np.float64)
+    x = (np.asarray(img, np.float64) - mean) / std
+    if cfg.MODEL.INPUT_FORMAT == "BGR":
+        x = x[..., ::-1]
+    bb, bfz = params["backbone"], fz["backbone"]
+    x = _fbn_conv(x, bb["stem"]["conv1"], bfz["stem"]["conv1"], 2, relu=True)
+    x = np_maxpool_3x3_s2(x)
+    for idx, (name, nblocks) in enumerate(
+        [("res2", 3), ("res3", 4), ("res4", 6), ("res5", 3)]
+    ):
+        dil = 2 if name == "res5" else 1
+        # resnet.py: a dilated res5 keeps stride 1 (stride 16 trunk)
+        first_stride = 2 if idx > 0 and dil == 1 else 1
+        for b in range(nblocks):
+            x = np_bottleneck(
+                x, bb[name][str(b)], bfz[name][str(b)],
+                stride=(first_stride if b == 0 else 1),
+                has_shortcut=(b == 0),
+                dilation=dil,
+            )
+    assert m_feats["res5"].shape[1:3] == x.shape[:2]  # stride 16, not 32
+    _rms_check(m_feats["res5"][0], x, "dc5 res5")
+    logits, _ = np_rpn_head([x], params["rpn_head"])
+    _rms_check(m_logits[0][0], logits[0], "dc5 rpn logits")
+
+
+def test_p6p7_top_block_matches_numpy_oracle():
+    """RetinaNet's FPN top block (P6P7): two stride-2 3x3 convs off p5,
+    relu between — the one neck component the FPN oracle misses."""
+    cfg = tiny_rcnn_cfg()
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.NECK.TOP_BLOCK_TYPE = "P6P7"
+    cfg.MODEL.RPN.IN_FEATURES = ["p3", "p4", "p5", "p6", "p7"]
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(13)
+    img = rng.uniform(0, 255, (64, 128, 3)).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(img[None]),
+        "image_size": jnp.asarray([[64, 128]], jnp.int32),
+    }
+    with jax.default_matmul_precision("highest"):
+        variables = jax.jit(model.init)(jax.random.PRNGKey(6), batch)
+
+    module, rpn_drv, roi_drv, neck_shapes, dtype = _build_rcnn_parts(cfg)
+    drv = _RCNNDrivers(cfg, module, rpn_drv, roi_drv, neck_shapes, dtype, False)
+    with jax.default_matmul_precision("highest"):
+        m_feats, _, _ = jax.device_get(
+            jax.jit(lambda v, b: drv.features_and_rpn(v, b, False))(
+                variables, batch
+            )
+        )
+
+    params = jax.device_get(variables["params"])
+    mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float64)
+    std = np.asarray(cfg.MODEL.PIXEL_STD, np.float64)
+    x = (np.asarray(img, np.float64) - mean) / std
+    if cfg.MODEL.INPUT_FORMAT == "BGR":
+        x = x[..., ::-1]
+    res = np_resnet18(x, params["backbone"])
+    planes = np_fpn(res, params["neck"])  # p2..p5 (+maxpool p6, unused)
+    tb6 = params["neck"]["top_block_p6"]["conv"]
+    tb7 = params["neck"]["top_block_p7"]["conv"]
+    p6 = np_conv(planes["p5"], tb6["kernel"], 2, bias=tb6["bias"])
+    p7 = np_conv(np.maximum(p6, 0.0), tb7["kernel"], 2, bias=tb7["bias"])
+    np.testing.assert_allclose(
+        np.asarray(m_feats["p6"][0], np.float64), p6,
+        rtol=2e-4, atol=2e-4, err_msg="p6",
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_feats["p7"][0], np.float64), p7,
+        rtol=2e-4, atol=2e-4, err_msg="p7",
+    )
 
 
 def test_image_to_detections_matches_numpy_trunk_oracle():
