@@ -193,23 +193,44 @@ def _frozen_affine(fz, eps=1e-5):
     return scale, shift
 
 
-def _fbn_conv(x, p, fz, stride=1, relu=False, dilation=1):
+def np_grouped_conv(x, k, stride=1, groups=1, dilation=1):
+    """Grouped conv (ResNeXt): kernel [kh, kw, Cin/G, Cout]; group g's
+    output channels read only input slice g (lax feature_group_count
+    semantics — output channels blocked by group)."""
+    if groups == 1:
+        return np_conv(x, k, stride, dilation=dilation)
+    cin_g = k.shape[2]
+    cout_g = k.shape[3] // groups
+    outs = [
+        np_conv(
+            x[..., g * cin_g:(g + 1) * cin_g],
+            k[..., g * cout_g:(g + 1) * cout_g],
+            stride, dilation=dilation,
+        )
+        for g in range(groups)
+    ]
+    return np.concatenate(outs, axis=-1)
+
+
+def _fbn_conv(x, p, fz, stride=1, relu=False, dilation=1, groups=1):
     """Conv2D with norm='FrozenBN' (no bias) + optional relu."""
-    out = np_conv(x, p["conv"]["kernel"], stride, dilation=dilation)
+    out = np_grouped_conv(
+        x, p["conv"]["kernel"], stride, groups=groups, dilation=dilation
+    )
     scale, shift = _frozen_affine(fz["FrozenBatchNorm_0"])
     out = out * scale + shift
     return np.maximum(out, 0.0) if relu else out
 
 
 def np_bottleneck(x, p, fz, stride, has_shortcut, stride_in_1x1=True,
-                  dilation=1):
+                  dilation=1, groups=1):
     """backbones/resnet.py BottleneckBlock: 1x1 -> 3x3 -> 1x1 with the MSRA
     stride placement (stride on the 1x1 when stride_in_1x1); the 3x3
-    carries the DC5 dilation."""
+    carries the DC5 dilation and the ResNeXt groups."""
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
     out = _fbn_conv(x, p["conv1"], fz["conv1"], s1, relu=True)
     out = _fbn_conv(out, p["conv2"], fz["conv2"], s3, relu=True,
-                    dilation=dilation)
+                    dilation=dilation, groups=groups)
     sc = (
         _fbn_conv(x, p["shortcut"], fz["shortcut"], stride)
         if has_shortcut
@@ -382,6 +403,72 @@ def test_dc5_dilated_trunk_matches_numpy_oracle():
     _rms_check(m_feats["res5"][0], x, "dc5 res5")
     logits, _ = np_rpn_head([x], params["rpn_head"])
     _rms_check(m_logits[0][0], logits[0], "dc5 rpn logits")
+
+
+def test_resnext_grouped_trunk_matches_numpy_oracle():
+    """ResNeXt grouped 3x3 (X-101-32x8d family): lax feature_group_count
+    blocks OUTPUT channels by group, each reading its own input slice —
+    the one kernel-semantics choice a converted checkpoint could silently
+    disagree on. 4 groups exercise the same blocking as 32."""
+    cfg = tiny_rcnn_cfg()
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.NORM = "FrozenBN"
+    cfg.MODEL.RESNETS.NUM_GROUPS = 4
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 16
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(17)
+    img = rng.uniform(0, 255, (64, 128, 3)).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(img[None]),
+        "image_size": jnp.asarray([[64, 128]], jnp.int32),
+    }
+    with jax.default_matmul_precision("highest"):
+        variables = jax.jit(model.init)(jax.random.PRNGKey(8), batch)
+    frozen = jax.tree.map(
+        lambda x: jnp.asarray(
+            (1.0 + rng.uniform(-0.1, 0.1, x.shape)).astype(np.float32)
+        ),
+        jax.device_get(variables["frozen"]),
+    )
+    variables = dict(variables)
+    variables["frozen"] = frozen
+
+    module, rpn_drv, roi_drv, neck_shapes, dtype = _build_rcnn_parts(cfg)
+    drv = _RCNNDrivers(cfg, module, rpn_drv, roi_drv, neck_shapes, dtype, False)
+    with jax.default_matmul_precision("highest"):
+        m_feats, _, _ = jax.device_get(
+            jax.jit(lambda v, b: drv.features_and_rpn(v, b, False))(
+                variables, batch
+            )
+        )
+
+    params = jax.device_get(variables["params"])
+    fz = jax.device_get(frozen)
+    mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float64)
+    std = np.asarray(cfg.MODEL.PIXEL_STD, np.float64)
+    x = (np.asarray(img, np.float64) - mean) / std
+    if cfg.MODEL.INPUT_FORMAT == "BGR":
+        x = x[..., ::-1]
+    bb, bfz = params["backbone"], fz["backbone"]
+    x = _fbn_conv(x, bb["stem"]["conv1"], bfz["stem"]["conv1"], 2, relu=True)
+    x = np_maxpool_3x3_s2(x)
+    feats = {}
+    for idx, (name, nblocks) in enumerate(
+        [("res2", 3), ("res3", 4), ("res4", 6), ("res5", 3)]
+    ):
+        for b in range(nblocks):
+            x = np_bottleneck(
+                x, bb[name][str(b)], bfz[name][str(b)],
+                stride=(2 if idx > 0 and b == 0 else 1),
+                has_shortcut=(b == 0),
+                groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+            )
+        feats[name] = x
+    planes = np_fpn(feats, params["neck"])
+    for f in ["p2", "p3", "p4", "p5"]:
+        _rms_check(m_feats[f][0], planes[f], f"resnext {f}")
 
 
 def test_p6p7_top_block_matches_numpy_oracle():
