@@ -520,6 +520,90 @@ def test_p6p7_top_block_matches_numpy_oracle():
     )
 
 
+def test_csp_darknet_trunk_matches_numpy_oracle():
+    """CSP-DarkNet53 (YOLOv4 trunk): stem + 5 CSP stages (preconv/2, CSP
+    split, residual blocks, postconv, concat, final 1x1), mish activation,
+    BN with perturbed running stats — the one family trunk without an
+    independent transcription (the YOLOv4 pipeline oracle starts at the
+    feature seam). Reference: lib/modeling/backbone/darknet.py:41-249."""
+    from detectron2_tensorflow_tpu.config import get_cfg
+    from detectron2_tensorflow_tpu.models.backbones.darknet import (
+        build_darknet_backbone,
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.RESNETS.NORM = "BN"
+    cfg.MODEL.RESNETS.ACTIVATION = "mish"
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 32
+    module, _ = build_darknet_backbone(cfg)
+
+    rng = np.random.default_rng(23)
+    x_in = rng.normal(size=(1, 64, 128, 3)).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        variables = module.init(jax.random.PRNGKey(3), jnp.asarray(x_in))
+        variables = dict(variables)
+        # non-identity running stats so the BN math is actually exercised
+        variables["batch_stats"] = jax.tree.map(
+            lambda v: jnp.asarray(
+                (1.0 + rng.uniform(-0.1, 0.1, v.shape)).astype(np.float32)
+            ),
+            jax.device_get(variables["batch_stats"]),
+        )
+        got = jax.device_get(
+            jax.jit(lambda v, x: module.apply(v, x, train=False))(
+                variables, jnp.asarray(x_in)
+            )
+        )
+
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    def mish(v):
+        return v * np.tanh(np.logaddexp(0.0, v))
+
+    def bn_conv(x, p, st, stride=1):
+        out = np_conv(x, p["conv"]["kernel"], stride)
+        bn_p = p["BatchNorm_0"]["BatchNorm_0"]
+        bn_s = st["BatchNorm_0"]["BatchNorm_0"]
+        out = (out - np.asarray(bn_s["mean"], np.float64)) / np.sqrt(
+            np.asarray(bn_s["var"], np.float64) + 1e-5
+        )
+        out = out * np.asarray(bn_p["scale"], np.float64) + np.asarray(
+            bn_p["bias"], np.float64
+        )
+        return mish(out)
+
+    x = bn_conv(np.asarray(x_in[0], np.float64), params["stem"],
+                stats["stem"])
+    feats = {}
+    num_blocks = (1, 2, 8, 8, 4)
+    for stage_idx in range(1, 6):
+        name = f"res{stage_idx}"
+        p, st = params[name], stats[name]
+        all_narrow = stage_idx != 1
+        x = bn_conv(x, p["preconv"], st["preconv"], stride=2)
+        shortcut = bn_conv(x, p["shortcut"], st["shortcut"])
+        main = bn_conv(x, p["main"], st["main"])
+        for i in range(num_blocks[stage_idx - 1]):
+            bp, bs = p[f"block_{i + 1}"], st[f"block_{i + 1}"]
+            out = bn_conv(main, bp["conv1"], bs["conv1"])
+            out = bn_conv(out, bp["conv2"], bs["conv2"])
+            main = main + out
+        main = bn_conv(main, p["postconv"], st["postconv"])
+        x = bn_conv(
+            np.concatenate([main, shortcut], axis=-1), p["final"], st["final"]
+        )
+        if name in ("res3", "res4", "res5"):
+            feats[name] = x
+    for f in ("res3", "res4", "res5"):
+        np.testing.assert_allclose(
+            np.asarray(got[f][0], np.float64), feats[f],
+            rtol=3e-4, atol=3e-4, err_msg=f"darknet {f}",
+        )
+
+
 def test_image_to_detections_matches_numpy_trunk_oracle():
     cfg = tiny_rcnn_cfg()
     cfg.MODEL.MASK_ON = False
