@@ -217,7 +217,20 @@ def _attempt(cmd, timeout: float):
     """Run one measurement subprocess; return its JSON line or None."""
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # A child that measured + printed its line and THEN hung (wedged
+        # TPU runtime at teardown — this host's signature failure) still
+        # delivered the measurement: scan the captured partial stdout.
+        out = e.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        line = _first_json_line(out)
+        if line:
+            sys.stderr.write(
+                f"bench child hung after printing its line ({timeout:.0f}s): "
+                f"{cmd}; using the captured measurement\n"
+            )
+            return line
         sys.stderr.write(f"bench child timed out after {timeout:.0f}s: {cmd}\n")
         return None
     line = _first_json_line(proc.stdout)
@@ -254,7 +267,8 @@ def main():
     # line (the driver takes the last parseable line). Batch ladder: 16 is
     # the measured sweet spot on v5e-1, 8 the safe fallback. The train child
     # gets the whole remaining budget (see the wall-time note above).
-    for train_batch in (16, 8):
+    train_ladder = (16, 8)
+    for attempt, train_batch in enumerate(train_ladder):
         if left() < _MIN_ATTEMPT:
             break
         tline = _attempt(_train_cmd(train_batch), max(1.0, left() - 15.0))
@@ -265,7 +279,8 @@ def main():
             record["train_batch"] = train_batch
             print(json.dumps(record), flush=True)
             break
-        if left() > _MIN_ATTEMPT:
+        if attempt + 1 < len(train_ladder) and left() > _MIN_ATTEMPT:
+            # recovery window only when another attempt will follow
             time.sleep(max(0.0, min(RECOVERY_SECONDS, left() - _MIN_ATTEMPT)))
 
 

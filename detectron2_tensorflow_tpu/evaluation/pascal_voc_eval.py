@@ -25,28 +25,20 @@ def compute_average_precision(precision: np.ndarray, recall: np.ndarray) -> floa
 
 
 def _box_iou_1_to_many(db: np.ndarray, g_boxes: np.ndarray) -> np.ndarray:
-    """IoU of one box against [M, 4] boxes."""
-    inter = _box_intersection_1_to_many(db, g_boxes)
-    a_d = (db[2] - db[0]) * (db[3] - db[1])
-    a_g = (g_boxes[:, 2] - g_boxes[:, 0]) * (g_boxes[:, 3] - g_boxes[:, 1])
-    return inter / np.maximum(a_d + a_g - inter, 1e-10)
+    """IoU of one box against [M, 4] boxes (shared COCO matrix helper)."""
+    from .coco_eval import box_iou_matrix
+
+    return box_iou_matrix(db[None], g_boxes, np.zeros(len(g_boxes), bool))[0]
 
 
 def _box_ioa_1_to_many(db: np.ndarray, g_boxes: np.ndarray) -> np.ndarray:
     """Intersection over the DETECTION's area (group-of matching rule,
     reference np_box_list_ops.ioa transposed — per_image_evaluation.py
-    :386-387)."""
-    inter = _box_intersection_1_to_many(db, g_boxes)
-    a_d = (db[2] - db[0]) * (db[3] - db[1])
-    return inter / np.maximum(a_d, 1e-10)
+    :386-387). Identical to COCO's crowd-GT semantics, so it reuses
+    box_iou_matrix's iscrowd branch."""
+    from .coco_eval import box_iou_matrix
 
-
-def _box_intersection_1_to_many(db: np.ndarray, g_boxes: np.ndarray) -> np.ndarray:
-    xx0 = np.maximum(db[0], g_boxes[:, 0])
-    yy0 = np.maximum(db[1], g_boxes[:, 1])
-    xx1 = np.minimum(db[2], g_boxes[:, 2])
-    yy1 = np.minimum(db[3], g_boxes[:, 3])
-    return np.clip(xx1 - xx0, 0, None) * np.clip(yy1 - yy0, 0, None)
+    return box_iou_matrix(db[None], g_boxes, np.ones(len(g_boxes), bool))[0]
 
 
 class PascalVocEvaluator:
@@ -122,7 +114,11 @@ class PascalVocEvaluator:
             go_masks = gt_masks[go] if self.use_masks else None
             self._num_gt[c] += float((~g_diff).sum())
             self._num_gt[c] += self.group_of_weight * float(go.sum())
-            if (~g_diff).sum() > 0 or go.sum() > 0:
+            # CorLoc denominator: any class GT at all (difficult and
+            # group-of included — reference pascal_voc_evaluator.py
+            # _update_ground_truth_statistics counts num_gt_imgs by
+            # np.any(class_labels == c)).
+            if g_sel.any():
                 self._images_with_gt[c] += 1
             if not d_sel.any():
                 continue
@@ -131,10 +127,27 @@ class PascalVocEvaluator:
             d_masks = dt_masks[d_sel][order] if self.use_masks else None
             d_scores = dt_scores[d_sel][order]
 
+            # CorLoc numerator (reference per_image_evaluation.py
+            # _compute_is_class_correctly_detected_in_image): the single
+            # TOP-SCORING detection against ALL class GT boxes — difficult
+            # and group-of treated as normal boxes, plain IoU.
+            if g_sel.any():
+                if self.use_masks:
+                    dm = d_masks[0].reshape(-1).astype(np.float64)
+                    gm = gt_masks[g_sel].reshape(
+                        int(g_sel.sum()), -1
+                    ).astype(np.float64)
+                    inter = gm @ dm
+                    union = gm.sum(1) + dm.sum() - inter
+                    top_iou = inter / np.maximum(union, 1e-10)
+                else:
+                    top_iou = _box_iou_1_to_many(d_boxes[0], gt_boxes[g_sel])
+                if top_iou.max() >= self.iou_thresh:
+                    self._images_correctly_detected[c] += 1
+
             matched = np.zeros(len(g_boxes), bool)
             # best matched detection score per group-of box (stage 2)
             go_scores = np.zeros(len(go_boxes), np.float64)
-            image_correct = False
             for i, db in enumerate(d_boxes):
                 # Stage 1: IoU match against non-group-of boxes.
                 if len(g_boxes):
@@ -154,7 +167,6 @@ class PascalVocEvaluator:
                             matched[j] = True
                             self._scores[c].append(d_scores[i])
                             self._tp[c].append(1.0)
-                            image_correct = True
                             continue
                 # Stage 2: this detection is a false positive so far —
                 # try the group-of boxes by IoA (intersection / det area).
@@ -179,8 +191,6 @@ class PascalVocEvaluator:
                     # one fractional-TP pseudo-detection per matched box
                     self._scores[c].append(float(s))
                     self._tp[c].append(self.group_of_weight)
-            if image_correct:
-                self._images_correctly_detected[c] += 1
 
     def evaluate(self) -> Dict[str, float]:
         aps, corlocs = [], []

@@ -324,6 +324,10 @@ class _RCNNDrivers:
             _rel.DUPLICATE_REMOVAL_IOU,
         )
         self.dup_combine = _rel.DUPLICATE_REMOVAL_COMBINE
+        assert self.dup_combine in ("mean", "max"), (
+            f"DUPLICATE_REMOVAL_COMBINE must be 'mean' or 'max', got "
+            f"{self.dup_combine!r}"
+        )
         self.num_stages = roi_driver.num_stages if self.is_cascade else 1
         self.with_sem_seg = with_sem_seg
         self.sem_seg_ignore = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE

@@ -96,6 +96,25 @@ def test_hung_train_child_keeps_inference_line(monkeypatch, capsys):
     assert wall < bench.DEADLINE_SECONDS + 3.0
 
 
+def test_child_that_prints_then_hangs_still_counts(monkeypatch, capsys):
+    """A child that measured + printed its JSON line and THEN hung (wedged
+    TPU runtime at teardown) must still deliver the measurement via the
+    TimeoutExpired exception's captured stdout."""
+    print_then_hang = [
+        sys.executable, "-c",
+        f"import time; print({_OK_LINE!r}, flush=True); time.sleep(600)",
+    ]
+    monkeypatch.setattr(bench, "_infer_cmd", lambda bs: print_then_hang)
+    monkeypatch.setattr(bench, "_train_cmd", lambda bs: _hang_cmd())
+    _fast_protocol(monkeypatch, deadline=40.0, attempt=15.0)
+
+    bench.main()
+
+    lines = _json_lines(capsys)
+    assert len(lines) >= 1
+    assert lines[0]["value"] == 100.0  # measurement recovered from e.stdout
+
+
 def test_deadline_caps_ladder(monkeypatch, capsys):
     """Every child hangs: the driver gives up at the deadline with a
     SystemExit instead of running the full ~8000 s worst case."""

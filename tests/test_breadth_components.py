@@ -162,6 +162,54 @@ def test_pascal_voc_group_of_weight_fractional_tp():
     assert abs(m["mAP"] - 50.0) < 1e-4
 
 
+def test_pascal_voc_corloc_counts_group_of_and_difficult():
+    """CorLoc follows the reference's separate rule (per_image_evaluation
+    _compute_is_class_correctly_detected_in_image): the TOP-scoring
+    detection against ALL class GT — group-of and difficult treated as
+    normal boxes — and the denominator counts any image with class GT."""
+    ev = PascalVocEvaluator(num_classes=1)
+    # image A: only a group-of box; the top detection IoU-matches it
+    ev.add_image(
+        {
+            "boxes": np.array([[0, 0, 100, 100]], np.float64),
+            "classes": np.array([0]),
+            "is_group_of": np.array([True]),
+        },
+        {
+            "boxes": np.array([[0, 0, 100, 100]], np.float64),
+            "scores": np.array([0.9]),
+            "classes": np.array([0]),
+        },
+    )
+    # image B: only a difficult box; top detection matches it too
+    ev.add_image(
+        {
+            "boxes": np.array([[0, 0, 50, 50]], np.float64),
+            "classes": np.array([0]),
+            "is_difficult": np.array([True]),
+        },
+        {
+            "boxes": np.array([[0, 0, 50, 50]], np.float64),
+            "scores": np.array([0.8]),
+            "classes": np.array([0]),
+        },
+    )
+    # image C: a normal box the top detection misses
+    ev.add_image(
+        {
+            "boxes": np.array([[0, 0, 20, 20]], np.float64),
+            "classes": np.array([0]),
+        },
+        {
+            "boxes": np.array([[200, 200, 260, 260]], np.float64),
+            "scores": np.array([0.7]),
+            "classes": np.array([0]),
+        },
+    )
+    m = ev.evaluate()
+    assert abs(m["CorLoc"] - 100.0 * (2 / 3)) < 1e-4
+
+
 def test_draw_detections_runs():
     img = np.zeros((64, 64, 3), np.uint8)
     out = draw_detections(
